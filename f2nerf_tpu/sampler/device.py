@@ -1,0 +1,451 @@
+"""Device-side octree sampling: traversal, ray marching, warping, occupancy.
+
+TPU-native replacement for the reference's divergent CUDA kernels
+(PersSampler.cu):
+
+  * FindRayOctreeIntersectionKernel (:53-152) — a per-thread DFS with a
+    48-entry stack — becomes a lockstep *restart traversal*: every ray
+    repeatedly point-locates o + t*d from the root (<= tree depth gathers)
+    and skips empty regions analytically. All rays advance in one
+    `lax.while_loop`; hits come out sorted along the ray by construction.
+    Per-ray output is a fixed [MAX_HITS] buffer + count (the reference's
+    two-phase count/fill + atomic prefix allocation is unnecessary with
+    fixed shapes).
+
+  * RayMarchKernel (:189-314) — becomes a lockstep state machine emitting at
+    most one sample per iteration into dense [n_rays, MAX_S] buffers
+    (EMIT/ADVANCE phases mirror the reference's outer loop + inner
+    hit-advance while). Warp-space step dt = sample_l * noise / |J d|
+    (optionally scaled by the clamped camera-distance ratio).
+
+  * occupancy-stat update (:436-615) — atomics become `.at[].max()/.add()`
+    scatters keyed by node index.
+
+The tree lives on device as a pytree of fixed-capacity padded arrays
+(`DeviceTree`), so milestone rebuilds on host never change shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .octree import OctreeHost
+from .warp import N_PROS
+
+# occupancy constants (reference PersSampler.cu:11-17)
+OCC_WEIGHT_BASE = 512
+ABS_WEIGHT_THRES = 0.01
+REL_WEIGHT_THRES = 0.1
+OCC_ALPHA_BASE = 32
+ABS_ALPHA_THRES = 0.02
+REL_ALPHA_THRES = 0.1
+
+
+class DeviceTree(NamedTuple):
+    """Padded SoA octree + warp table + edge pool on device."""
+    center: jnp.ndarray      # [N, 3]
+    side: jnp.ndarray        # [N]
+    child: jnp.ndarray       # [N, 8] i32
+    is_leaf: jnp.ndarray     # [N] bool
+    trans_idx: jnp.ndarray   # [N] i32 (mutated by occupancy culling)
+    weight_stats: jnp.ndarray  # [N] i32
+    alpha_stats: jnp.ndarray   # [N] i32
+    visit_cnt: jnp.ndarray     # [N] i32
+    w2xz: jnp.ndarray        # [M, 12, 2, 4]
+    weight: jnp.ndarray      # [M, 3, 12]
+    t_center: jnp.ndarray    # [M, 3]
+    t_dis: jnp.ndarray       # [M]
+    edge_t: jnp.ndarray      # [E, 2] i32
+    edge_center: jnp.ndarray  # [E, 3]
+    edge_dir0: jnp.ndarray   # [E, 3]
+    edge_dir1: jnp.ndarray   # [E, 3]
+    n_edges: jnp.ndarray     # [] i32
+
+
+def _pad(x: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + x.shape[1:], fill, x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def to_device_tree(tree: OctreeHost, max_nodes: int, max_trans: int,
+                   max_edges: int) -> DeviceTree:
+    assert tree.n_nodes <= max_nodes, (tree.n_nodes, max_nodes)
+    assert tree.n_trans <= max_trans, (tree.n_trans, max_trans)
+    assert tree.edge_t.shape[0] <= max_edges, (tree.edge_t.shape[0], max_edges)
+    return DeviceTree(
+        center=jnp.asarray(_pad(tree.center, max_nodes)),
+        side=jnp.asarray(_pad(tree.side, max_nodes)),
+        child=jnp.asarray(_pad(tree.childs, max_nodes, -1)),
+        is_leaf=jnp.asarray(_pad(tree.is_leaf.astype(np.int8), max_nodes, 1) > 0),
+        trans_idx=jnp.asarray(_pad(tree.trans_idx, max_nodes, -1)),
+        weight_stats=jnp.asarray(_pad(tree.weight_stats, max_nodes)),
+        alpha_stats=jnp.asarray(_pad(tree.alpha_stats, max_nodes)),
+        visit_cnt=jnp.asarray(_pad(tree.visit_cnt, max_nodes)),
+        w2xz=jnp.asarray(_pad(tree.w2xz, max_trans)),
+        weight=jnp.asarray(_pad(tree.weight, max_trans)),
+        t_center=jnp.asarray(_pad(tree.t_center, max_trans)),
+        t_dis=jnp.asarray(_pad(tree.t_dis, max_trans, 1.0)),
+        edge_t=jnp.asarray(_pad(tree.edge_t, max_edges)),
+        edge_center=jnp.asarray(_pad(tree.edge_center, max_edges)),
+        edge_dir0=jnp.asarray(_pad(tree.edge_dir0, max_edges)),
+        edge_dir1=jnp.asarray(_pad(tree.edge_dir1, max_edges)),
+        n_edges=jnp.asarray(tree.edge_t.shape[0], jnp.int32),
+    )
+
+
+def sync_host_tree(tree: OctreeHost, dtree: DeviceTree) -> OctreeHost:
+    """Pull device-mutated state (trans_idx culling + occupancy stats) back
+    into the host tree before maintenance."""
+    n = tree.n_nodes
+    tree.trans_idx = np.asarray(dtree.trans_idx[:n])
+    tree.weight_stats = np.asarray(dtree.weight_stats[:n])
+    tree.alpha_stats = np.asarray(dtree.alpha_stats[:n])
+    tree.visit_cnt = np.asarray(dtree.visit_cnt[:n])
+    return tree
+
+
+# ----------------------------------------------------------- geometry helpers
+
+def _slab(center, side, o, d, big=1e6):
+    """Ray-AABB intersection, matching GetIntersection (PersSampler.cu:21-51)
+    including the |d| < 1e-6 inside/outside convention. center/side
+    broadcastable against o/d [..., 3]. Returns (near, far)."""
+    hf = side[..., None] * 0.5
+    lo = center - hf
+    hi = center + hf
+    safe_d = jnp.where(jnp.abs(d) < 1e-6, 1.0, d)
+    t0 = (lo - o) / safe_d
+    t1 = (hi - o) / safe_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    degenerate = jnp.abs(d) < 1e-6
+    inside = (o > lo) & (o < hi)
+    tn = jnp.where(degenerate, jnp.where(inside, -big, big), tn)
+    tf = jnp.where(degenerate, jnp.where(inside, big, -big), tf)
+    return tn.max(axis=-1), tf.min(axis=-1)
+
+
+def apply_warp(tree: DeviceTree, trans_idx: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Warp world points [n, 3] through per-point leaf warps
+    (QueryFrameTransform, PersSampler.cu:155-168)."""
+    m = tree.w2xz[trans_idx]          # [n, 12, 2, 4]
+    w = tree.weight[trans_idx]        # [n, 3, 12]
+    a = jnp.einsum("nkc,nc->nk", m[:, :, 0, :3], pts) + m[:, :, 0, 3]
+    b = jnp.einsum("nkc,nc->nk", m[:, :, 1, :3], pts) + m[:, :, 1, 3]
+    v = a / b
+    return jnp.einsum("nak,nk->na", w, v)
+
+
+def warp_jac_dir(w2xz, weight, pts, dirs):
+    """|J(x) @ d| per ray, with J the warp Jacobian
+    (QueryFrameTransformJac, PersSampler.cu:170-187).
+    w2xz [n,12,2,4], weight [n,3,12], pts/dirs [n,3]."""
+    a = jnp.einsum("nkc,nc->nk", w2xz[:, :, 0, :3], pts) + w2xz[:, :, 0, 3]
+    b = jnp.einsum("nkc,nc->nk", w2xz[:, :, 1, :3], pts) + w2xz[:, :, 1, 3]
+    # dv/dxyz = (1/b) row0 - (a/b^2) row1   [n, 12, 3]
+    dv = w2xz[:, :, 0, :3] / b[..., None] - \
+        (a / (b * b))[..., None] * w2xz[:, :, 1, :3]
+    jd = jnp.einsum("nak,nkc,nc->na", weight, dv, dirs)  # [n, 3] = J @ d
+    return jnp.linalg.norm(jd, axis=-1)
+
+
+# ----------------------------------------------------------------- traversal
+
+@partial(jax.jit, static_argnames=("max_hits", "max_iters"))
+def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+             near: jnp.ndarray, far: jnp.ndarray,
+             max_hits: int, max_iters: int = 4096):
+    """Ordered leaf intersections per ray via restart traversal.
+
+    Returns (hit_idx [R, H] i32, hit_near [R, H], hit_far [R, H],
+    n_hits [R] i32). Replaces FindRayOctreeIntersectionKernel
+    (PersSampler.cu:53-152); ordering along the ray is identical to the
+    reference's direction-ordered DFS because leaf cells are disjoint.
+    """
+    R = rays_o.shape[0]
+    root_side = tree.side[0]
+    eps0 = root_side * 1e-6
+
+    t_root_n, t_root_f = _slab(tree.center[0], root_side, rays_o, rays_d)
+    t0 = jnp.maximum(t_root_n, near)
+    t_end = jnp.minimum(t_root_f, far)
+
+    state = dict(
+        t=t0,
+        u=jnp.zeros((R,), jnp.int32),
+        cnt=jnp.zeros((R,), jnp.int32),
+        done=t0 >= t_end,
+        eps=jnp.full((R,), eps0),
+        hit_idx=jnp.full((R, max_hits), -1, jnp.int32),
+        hit_near=jnp.zeros((R, max_hits)),
+        hit_far=jnp.zeros((R, max_hits)),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(jnp.any(~s["done"]), s["it"] < max_iters)
+
+    def body(s):
+        t, u, cnt, done, eps = s["t"], s["u"], s["cnt"], s["done"], s["eps"]
+        p = rays_o + rays_d * (t + eps)[:, None]
+
+        c_u = tree.center[u]
+        s_u = tree.side[u]
+        leaf_u = tree.is_leaf[u]
+        tr_u = tree.trans_idx[u]
+
+        # ---- leaf: emit (if valid) and restart past its exit
+        n_l, f_l = _slab(c_u, s_u, rays_o, rays_d)
+        n_l = jnp.maximum(n_l, near)
+        f_l = jnp.minimum(f_l, far)
+        emit = (~done) & leaf_u & (tr_u >= 0) & (n_l < f_l) & (cnt < max_hits)
+        rows = jnp.arange(R)
+        slot = jnp.minimum(cnt, max_hits - 1)
+        hit_idx = s["hit_idx"].at[rows, slot].set(
+            jnp.where(emit, u, s["hit_idx"][rows, slot]))
+        hit_near = s["hit_near"].at[rows, slot].set(
+            jnp.where(emit, n_l, s["hit_near"][rows, slot]))
+        hit_far = s["hit_far"].at[rows, slot].set(
+            jnp.where(emit, f_l, s["hit_far"][rows, slot]))
+        cnt = cnt + emit.astype(jnp.int32)
+
+        leaf_t = jnp.maximum(f_l, t)
+        leaf_eps = jnp.maximum(s_u * 1e-4, eps0)
+
+        # ---- internal: descend or skip empty region
+        ge = (p >= c_u).astype(jnp.int32)
+        st = (ge[:, 0] << 2) | (ge[:, 1] << 1) | ge[:, 2]
+        c = tree.child[u, st]
+        c_safe = jnp.maximum(c, 0)
+        c_center = tree.center[c_safe]
+        c_side = tree.side[c_safe]
+        inside_c = (c >= 0) & \
+            (jnp.abs(p - c_center).max(axis=-1) <= c_side * 0.5)
+
+        oct_center = c_u + (ge.astype(jnp.float32) - 0.5) * s_u[:, None] * 0.5
+        oct_side = s_u * 0.5
+        _, f_o = _slab(oct_center, oct_side, rays_o, rays_d)
+        n_c, f_c = _slab(c_center, c_side, rays_o, rays_d)
+        hit_ahead = (c >= 0) & (n_c > t) & (n_c < f_o) & (n_c < f_c)
+        skip_t = jnp.where(hit_ahead, n_c, f_o)
+        skip_t = jnp.maximum(skip_t, t)
+        skip_eps = jnp.maximum(
+            jnp.where(hit_ahead, c_side, oct_side) * 1e-4, eps0)
+
+        # ---- merge branches
+        new_t = jnp.where(done, t,
+                          jnp.where(leaf_u, leaf_t,
+                                    jnp.where(inside_c, t, skip_t)))
+        new_u = jnp.where(done, u,
+                          jnp.where(leaf_u, 0,
+                                    jnp.where(inside_c, c, 0)))
+        new_eps = jnp.where(done | inside_c, eps,
+                            jnp.where(leaf_u, leaf_eps, skip_eps))
+        new_done = done | (~inside_c & ((new_t + new_eps) >= t_end)) | \
+            (cnt >= max_hits)
+
+        return dict(t=new_t, u=new_u, cnt=cnt, done=new_done, eps=new_eps,
+                    hit_idx=hit_idx, hit_near=hit_near, hit_far=hit_far,
+                    it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["hit_idx"], out["hit_near"], out["hit_far"], out["cnt"]
+
+
+# ------------------------------------------------------------------ marching
+
+@partial(jax.jit, static_argnames=("max_s", "scale_by_dis", "max_iters"))
+def ray_march(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+              hit_idx, hit_near, hit_far, n_hits,
+              noise: jnp.ndarray, sample_l: float | jnp.ndarray,
+              scale_by_dis: bool, max_s: int, max_iters: int = 0):
+    """March rays through their hit lists, mirroring RayMarchKernel
+    (PersSampler.cu:189-314) as an EMIT/ADVANCE lockstep state machine.
+
+    noise: [R + max_s + 16] per-step step-length multipliers (already times
+    ray_march_fineness; all-ones in eval — Renderer VALIDATE mode).
+    Returns dense per-ray buffers:
+      out_t [R, max_s], out_dt [R, max_s], out_node [R, max_s] i32,
+      n_samples [R] i32, first_oct_dis [R].
+    """
+    R = rays_o.shape[0]
+    H = hit_idx.shape[1]
+    if max_iters == 0:
+        max_iters = max_s + H + 8
+
+    first_oct = jnp.where(n_hits > 0, hit_near[:, 0], 1e9)
+    rows = jnp.arange(R)
+
+    state = dict(
+        oct_ptr=jnp.zeros((R,), jnp.int32),
+        t=hit_near[:, 0],
+        exp_step=jnp.ones((R,)),
+        march_step=jnp.zeros((R,)),
+        first=jnp.ones((R,), bool),
+        n_out=jnp.zeros((R,), jnp.int32),
+        advance=jnp.zeros((R,), bool),
+        done=n_hits <= 0,
+        out_t=jnp.zeros((R, max_s)),
+        out_dt=jnp.zeros((R, max_s)),
+        out_node=jnp.full((R, max_s), -1, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(jnp.any(~s["done"]), s["it"] < max_iters)
+
+    def body(s):
+        t, ptr = s["t"], s["oct_ptr"]
+        done, adv, first = s["done"], s["advance"], s["first"]
+        n_out = s["n_out"]
+
+        ptr_c = jnp.minimum(ptr, H - 1)
+        node = hit_idx[rows, ptr_c]
+        cur_far = hit_far[rows, ptr_c]
+        cur_near = hit_near[rows, ptr_c]
+
+        # ---------- EMIT branch: evaluate warp Jacobian, maybe emit sample
+        tr = jnp.maximum(tree.trans_idx[jnp.maximum(node, 0)], 0)
+        xyz = rays_o + rays_d * t[:, None]
+        pnorm = warp_jac_dir(tree.w2xz[tr], tree.weight[tr], xyz, rays_d) + 1e-6
+        radius = jnp.linalg.norm(rays_o - tree.t_center[tr], axis=-1) / tree.t_dis[tr]
+        radius_clip = jnp.maximum(radius, 1.0)
+        step_noise = noise[rows + n_out]
+        exp_step_new = sample_l * step_noise / pnorm
+        if scale_by_dis:
+            exp_step_new = exp_step_new * radius_clip
+        emit_mask = (~done) & (~adv) & (~first) & (n_out < max_s)
+        slot = jnp.minimum(n_out, max_s - 1)
+        out_t = s["out_t"].at[rows, slot].set(
+            jnp.where(emit_mask, t, s["out_t"][rows, slot]))
+        out_dt = s["out_dt"].at[rows, slot].set(
+            jnp.where(emit_mask, exp_step_new * pnorm, s["out_dt"][rows, slot]))
+        out_node = s["out_node"].at[rows, slot].set(
+            jnp.where(emit_mask, node, s["out_node"][rows, slot]))
+        n_out = n_out + emit_mask.astype(jnp.int32)
+
+        # ---------- ADVANCE branch: move to next hit, re-phase the step
+        ptr_a = ptr + 1
+        ptr_ac = jnp.minimum(ptr_a, H - 1)
+        a_near = hit_near[rows, ptr_ac]
+        a_far = hit_far[rows, ptr_ac]
+        exp_step = jnp.where(adv, s["exp_step"], exp_step_new)
+        ex_steps = jnp.ceil(jnp.maximum((a_near - t) / exp_step, 1.0))
+        adv_step = exp_step * ex_steps
+
+        in_emit = (~done) & (~adv)
+        in_adv = (~done) & adv
+
+        # EMIT result: either t += step (stay) or switch to ADVANCE
+        emit_fits = t + exp_step_new <= cur_far
+        # ADVANCE result: ptr++, maybe done, else check fit
+        adv_exhausted = ptr_a >= n_hits
+        adv_fits = t + adv_step <= a_far
+
+        new_done = done | (in_adv & adv_exhausted) | \
+            (in_emit & (n_out >= max_s))
+        new_ptr = jnp.where(in_adv, ptr_a, ptr)
+        new_t = jnp.where(in_emit & emit_fits, t + exp_step_new,
+                          jnp.where(in_adv & (~adv_exhausted) & adv_fits,
+                                    t + adv_step, t))
+        new_adv = jnp.where(in_emit, ~emit_fits,
+                            jnp.where(in_adv, (~adv_exhausted) & (~adv_fits), adv))
+        new_exp = jnp.where(in_emit, exp_step_new, s["exp_step"])
+        # `first` clears after the first EMIT evaluation (the reference skips
+        # emitting the very first point: it has no step randomness)
+        new_first = jnp.where(in_emit, False, first)
+
+        return dict(oct_ptr=new_ptr, t=new_t, exp_step=new_exp,
+                    march_step=adv_step, first=new_first, n_out=n_out,
+                    advance=new_adv, done=new_done,
+                    out_t=out_t, out_dt=out_dt, out_node=out_node,
+                    it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["out_t"], out["out_dt"], out["out_node"], out["n_out"], first_oct
+
+
+# --------------------------------------------------------------- edge samples
+
+def sample_edges(tree: DeviceTree, key: jax.Array, n_pts: int):
+    """Random points on leaf-face adjacencies, warped into both neighbor
+    frames (GetEdgeSamplesKernel, PersSampler.cu:436-473).
+    Returns (pts [n_pts, 2, 3] warp coords, trans idx [n_pts, 2])."""
+    k1, k2 = jax.random.split(key)
+    e = jax.random.randint(k1, (n_pts,), 0, jnp.maximum(tree.n_edges, 1))
+    coord = jax.random.uniform(k2, (n_pts, 2)) * 2.0 - 1.0
+    world = tree.edge_center[e] + tree.edge_dir0[e] * coord[:, :1] + \
+        tree.edge_dir1[e] * coord[:, 1:]
+    ta = tree.edge_t[e, 0]
+    tb = tree.edge_t[e, 1]
+    pa = apply_warp(tree, ta, world)
+    pb = apply_warp(tree, tb, world)
+    return jnp.stack([pa, pb], axis=1), jnp.stack([ta, tb], axis=1)
+
+
+# ---------------------------------------------------------- occupancy update
+
+def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,
+                     ray_id: jnp.ndarray, weights: jnp.ndarray,
+                     alphas: jnp.ndarray, n_rays: int) -> DeviceTree:
+    """Functional occupancy-stat update (MarkVistNodeKernel + host formulas,
+    PersSampler.cu:475-615 and UpdateOctNodes).
+
+    node_idx/ray_id: [cap] flat sample buffer (padding: ray_id == n_rays,
+    node_idx == -1). weights/alphas: pre-filter per-sample values.
+    """
+    from ..ops.segment import segment_max
+
+    n_nodes = tree.trans_idx.shape[0]
+    valid = (ray_id < n_rays) & (node_idx >= 0)
+    rid = jnp.where(valid, ray_id, n_rays)
+    nid = jnp.where(valid, node_idx, n_nodes)
+
+    w = jnp.where(valid, weights, 0.0)
+    a = jnp.where(valid, alphas, 0.0)
+    ray_max_w = segment_max(w, rid, n_rays)
+    ray_max_a = segment_max(a, rid, n_rays)
+    thres_w = jnp.minimum(ray_max_w * REL_WEIGHT_THRES, ABS_WEIGHT_THRES)
+    thres_a = jnp.minimum(ray_max_a * REL_ALPHA_THRES, ABS_ALPHA_THRES)
+    rid_c = jnp.minimum(rid, n_rays - 1)
+    vote_w = valid & (w > thres_w[rid_c])
+    vote_a = valid & (a > thres_a[rid_c])
+
+    adder_w = jnp.full((n_nodes + 1,), -1, jnp.int32)
+    adder_w = adder_w.at[nid].max(jnp.where(vote_w, OCC_WEIGHT_BASE, -1))
+    adder_a = jnp.full((n_nodes + 1,), -1, jnp.int32)
+    adder_a = adder_a.at[nid].max(jnp.where(vote_a, OCC_ALPHA_BASE, -1))
+    mark = jnp.zeros((n_nodes + 1,), jnp.int32).at[nid].max(valid.astype(jnp.int32))
+
+    # per-(ray, node) run lengths -> visit_cnt (atomicMax in reference)
+    prev_n = jnp.concatenate([jnp.full((1,), -2, nid.dtype), nid[:-1]])
+    prev_r = jnp.concatenate([jnp.full((1,), -2, rid.dtype), rid[:-1]])
+    run_first = (nid != prev_n) | (rid != prev_r)
+    run_id = jnp.cumsum(run_first.astype(jnp.int32)) - 1
+    cap = node_idx.shape[0]
+    run_len = jax.ops.segment_sum(valid.astype(jnp.int32), run_id,
+                                  num_segments=cap, indices_are_sorted=True)
+    per_sample_len = run_len[run_id]
+    visit_cnt = jnp.concatenate([tree.visit_cnt, jnp.zeros((1,), jnp.int32)])
+    visit_cnt = visit_cnt.at[jnp.where(valid & run_first, nid, n_nodes)].max(per_sample_len)
+
+    adder_w, adder_a, mark = adder_w[:-1], adder_a[:-1], mark[:-1]
+    occ_w = (adder_w > 0).astype(jnp.int32)
+    wstats = jnp.maximum(tree.weight_stats, occ_w * adder_w)
+    wstats = wstats + mark * (1 - occ_w) * adder_w
+    wstats = jnp.clip(wstats, -100, 1 << 20)
+    occ_a = (adder_a > 0).astype(jnp.int32)
+    astats = jnp.maximum(tree.alpha_stats, occ_a * adder_a)
+    astats = astats + mark * (1 - occ_a) * adder_a
+    astats = jnp.clip(astats, -100, 1 << 20)
+
+    trans_idx = jnp.where((wstats < 0) | (astats < 0), -1, tree.trans_idx)
+
+    return tree._replace(weight_stats=wstats, alpha_stats=astats,
+                         visit_cnt=visit_cnt[:-1], trans_idx=trans_idx)

@@ -1,0 +1,406 @@
+"""Adaptive perspective octree: host-side construction and maintenance.
+
+Numpy re-implementation of the semantics of PersOctree (reference
+PersSampler.cpp): recursive construction with camera-visibility tests
+(ctor :70-118, ConstructTreeNode :359-421, GetVisiCams :27-66), periodic
+maintenance (ProcOctree compact / path-compress / subdivide :120-330),
+visibility culling (MarkInvisibleNodes, PersSampler.cu:618-680) and the
+edge pool for the TV loss (ConstructEdgePool :614-659).
+
+Tree structure work is inherently sequential/recursive and runs ~26 times
+per training run (init + 5 milestones + compaction every 1000 iters), so it
+lives on host; the device consumes flat padded SoA arrays (see device.py)
+whose shapes never change across maintenance, keeping the train step's jit
+cache warm.
+
+Occupancy counters follow PersSampler.cu:11-17:
+  INIT_NODE_STAT=1000, weight: base 512 / abs 0.01 / rel 0.1,
+  alpha: base 32 / abs 0.02 / rel 0.1 (device-side update in device.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .warp import N_PROS, construct_trans, distance_summary
+
+INIT_NODE_STAT = 1000
+
+
+@dataclass
+class OctreeHost:
+    """Struct-of-arrays octree + warp table + edge pool (host, growable)."""
+    center: np.ndarray      # [n, 3] f32
+    side: np.ndarray        # [n] f32
+    parent: np.ndarray      # [n] i32
+    childs: np.ndarray      # [n, 8] i32, -1 = none
+    is_leaf: np.ndarray     # [n] bool
+    trans_idx: np.ndarray   # [n] i32, -1 = invalid leaf
+    weight_stats: np.ndarray  # [n] i32
+    alpha_stats: np.ndarray   # [n] i32
+    visit_cnt: np.ndarray     # [n] i32
+    # warp table (immutable after construction)
+    w2xz: np.ndarray        # [m, 12, 2, 4] f32
+    weight: np.ndarray      # [m, 3, 12] f32
+    t_center: np.ndarray    # [m, 3] f32
+    t_dis: np.ndarray       # [m] f32
+    # edge pool
+    edge_t: np.ndarray      # [e, 2] i32 (trans idx a, b)
+    edge_center: np.ndarray  # [e, 3] f32
+    edge_dir0: np.ndarray   # [e, 3] f32
+    edge_dir1: np.ndarray   # [e, 3] f32
+    side_len: float = 0.0
+    milestones: list = field(default_factory=list)
+
+    @property
+    def n_nodes(self):
+        return self.center.shape[0]
+
+    @property
+    def n_trans(self):
+        return self.w2xz.shape[0]
+
+
+def _ray_box_hits(center: np.ndarray, side: float,
+                  rays_o: np.ndarray, rays_d: np.ndarray,
+                  bounds: np.ndarray) -> np.ndarray:
+    """Which cameras see box(center, side)? [n_cams] bool.
+
+    Vectorized slab test matching GetVisiCams (PersSampler.cpp:27-66):
+    rays_o [n_cams, 3], rays_d [n_cams, n_pix, 3], bounds [n_cams, 2].
+    """
+    hf = side * 0.5
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = (center - hf - rays_o[:, None, :]) / rays_d
+        b = (center + hf - rays_o[:, None, :]) / rays_d
+    a = np.nan_to_num(a, nan=0.0, posinf=1e6, neginf=-1e6)
+    b = np.nan_to_num(b, nan=0.0, posinf=1e6, neginf=-1e6)
+    far = np.minimum(np.maximum(a, b).min(axis=-1), bounds[:, None, 1])
+    near = np.maximum(np.minimum(a, b).max(axis=-1), bounds[:, None, 0])
+    return (far > near).any(axis=-1)
+
+
+def _proxy_rays(c2w: np.ndarray, intri: np.ndarray):
+    """128-px-wide proxy pixel grids through camera 0's intrinsics for every
+    camera pose (PersSampler.cpp:32-49 uses intri[0] for the grid)."""
+    cx, cy = float(intri[0, 0, 2]), float(intri[0, 1, 2])
+    fx, fy = float(intri[0, 0, 0]), float(intri[0, 1, 1])
+    res_w = 128
+    res_h = int(round(res_w / cx * cy))
+    i = np.linspace(0.5, cy * 2.0 - 0.5, res_h)
+    j = np.linspace(0.5, cx * 2.0 - 0.5, res_w)
+    ii, jj = np.meshgrid(i, j, indexing="ij")
+    cam = np.stack([(jj.ravel() - cx) / fx, -(ii.ravel() - cy) / fy,
+                    -np.ones(res_h * res_w)], axis=-1)  # [n_pix, 3]
+    rays_d = np.einsum("cab,pb->cpa", c2w[:, :3, :3], cam)
+    rays_o = c2w[:, :3, 3]
+    return rays_o.astype(np.float64), rays_d.astype(np.float64)
+
+
+def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
+                 bounds: np.ndarray, cfg: dict, seed: int = 0) -> OctreeHost:
+    """Construct the adaptive octree over train cameras.
+
+    cfg keys: bbox_levels, max_level, split_dist_thres, sub_div_milestones.
+    Split criterion (PersSampler.cpp:393-406): subdivide while the node sees
+    >= N_PROS/2 cameras AND dis_summary < side_len * split_dist_thres.
+    """
+    rng = np.random.default_rng(seed)
+    side_len = float(1 << (int(cfg["bbox_levels"]) - 1))
+    max_depth = int(cfg["max_level"])
+    split_thres = float(cfg["split_dist_thres"])
+
+    rays_o, rays_d = _proxy_rays(c2w, intri)
+    cam_pos = c2w[:, :3, 3].astype(np.float64)
+
+    nodes = {k: [] for k in ("center", "side", "parent", "childs", "is_leaf", "trans_idx")}
+    trans_list = []
+
+    def new_node(parent):
+        for k in nodes:
+            nodes[k].append(None)
+        u = len(nodes["center"]) - 1
+        nodes["parent"][u] = parent
+        return u
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+
+    def construct(u, depth, center, side):
+        nodes["center"][u] = np.asarray(center, np.float64)
+        nodes["side"][u] = side
+        nodes["is_leaf"][u] = False
+        nodes["trans_idx"][u] = -1
+        nodes["childs"][u] = [-1] * 8
+        if depth > max_depth:
+            nodes["is_leaf"][u] = True
+            return
+        visi = np.nonzero(_ray_box_hits(center, side, rays_o, rays_d, bounds))[0]
+        dis = np.linalg.norm(cam_pos[visi] - center, axis=-1)
+        d_sum = distance_summary(dis)
+        if len(visi) >= N_PROS // 2 and d_sum < side * split_thres:
+            for st in range(8):
+                off = np.array([(st >> 2) & 1, (st >> 1) & 1, st & 1]) - 0.5
+                v = new_node(u)
+                nodes["childs"][u][st] = v
+                construct(v, depth + 1, center + side * 0.5 * off, side * 0.5)
+        elif len(visi) < N_PROS // 2:
+            nodes["is_leaf"][u] = True
+        else:
+            nodes["is_leaf"][u] = True
+            nodes["trans_idx"][u] = len(trans_list)
+            n_rand = 32 * 32 * 32
+            rand_pts = (rng.random((n_rand, 3)) - 0.5) * side + center
+            trans_list.append(construct_trans(
+                rand_pts, c2w[visi], intri[0], center, rng))
+
+    root = new_node(-1)
+    construct(root, 0, np.zeros(3), side_len)
+    sys.setrecursionlimit(old_limit)
+
+    n = len(nodes["center"])
+    tree = OctreeHost(
+        center=np.asarray(nodes["center"], np.float32),
+        side=np.asarray(nodes["side"], np.float32),
+        parent=np.asarray(nodes["parent"], np.int32),
+        childs=np.asarray(nodes["childs"], np.int32),
+        is_leaf=np.asarray(nodes["is_leaf"], bool),
+        trans_idx=np.asarray(nodes["trans_idx"], np.int32),
+        weight_stats=np.full(n, INIT_NODE_STAT, np.int32),
+        alpha_stats=np.full(n, INIT_NODE_STAT, np.int32),
+        visit_cnt=np.zeros(n, np.int32),
+        w2xz=np.stack([t["w2xz"] for t in trans_list]) if trans_list
+        else np.zeros((0, N_PROS, 2, 4), np.float32),
+        weight=np.stack([t["weight"] for t in trans_list]) if trans_list
+        else np.zeros((0, 3, N_PROS), np.float32),
+        t_center=np.stack([t["center"] for t in trans_list]) if trans_list
+        else np.zeros((0, 3), np.float32),
+        t_dis=np.asarray([t["dis_summary"] for t in trans_list], np.float32),
+        edge_t=np.zeros((0, 2), np.int32),
+        edge_center=np.zeros((0, 3), np.float32),
+        edge_dir0=np.zeros((0, 3), np.float32),
+        edge_dir1=np.zeros((0, 3), np.float32),
+        side_len=side_len,
+        # reference reverses the list and pops from the back -> process
+        # smallest milestone first (PersSampler.cpp:673, .cu:616-622)
+        milestones=sorted((int(m) for m in cfg["sub_div_milestones"]), reverse=True),
+    )
+    construct_edge_pool(tree)
+    return tree
+
+
+def construct_edge_pool(tree: OctreeHost) -> None:
+    """Leaf-face adjacency pool for TV-loss edge sampling
+    (ConstructEdgePool, PersSampler.cpp:614-659)."""
+    valid = np.nonzero(tree.trans_idx >= 0)[0]
+    et, ec, e0, e1 = [], [], [], []
+    centers = tree.center.astype(np.float64)
+    sides = tree.side.astype(np.float64)
+    face_axes = [(0, 1, 2), (0, 1, 2), (1, 0, 2), (1, 0, 2), (2, 0, 1), (2, 0, 1)]
+    signs = [1, -1, 1, -1, 1, -1]
+    for ai, a in enumerate(valid):
+        bs = valid[ai + 1:]
+        if len(bs) == 0:
+            continue
+        # u = smaller-side node of each (a, b) pair
+        u_is_a = sides[a] <= sides[bs]
+        for k, (ax, d0, d1) in enumerate(face_axes):
+            sgn = signs[k]
+            # face center of u for each pair
+            u_center = np.where(u_is_a[:, None], centers[a], centers[bs])
+            u_side = np.where(u_is_a, sides[a], sides[bs])
+            v_center = np.where(u_is_a[:, None], centers[bs], centers[a])
+            v_side = np.where(u_is_a, sides[bs], sides[a])
+            len_u = u_side * 0.5
+            pt = u_center.copy()
+            pt[:, ax] += sgn * len_u
+            inside = (np.abs(pt - v_center) / v_side[:, None] * 2.0
+                      < 1.0 + 1e-4).all(axis=1)
+            for idx in np.nonzero(inside)[0]:
+                b = bs[idx]
+                et.append((tree.trans_idx[a], tree.trans_idx[b]))
+                ec.append(pt[idx])
+                dv0 = np.zeros(3)
+                dv0[d0] = len_u[idx]
+                dv1 = np.zeros(3)
+                dv1[d1] = len_u[idx]
+                e0.append(dv0)
+                e1.append(dv1)
+    tree.edge_t = np.asarray(et, np.int32).reshape(-1, 2)
+    tree.edge_center = np.asarray(ec, np.float32).reshape(-1, 3)
+    tree.edge_dir0 = np.asarray(e0, np.float32).reshape(-1, 3)
+    tree.edge_dir1 = np.asarray(e1, np.float32).reshape(-1, 3)
+
+
+def proc_octree(tree: OctreeHost, compact: bool, subdivide: bool,
+                brute_force: bool) -> OctreeHost:
+    """Compact dead leaves, path-compress single-child chains, optionally
+    subdivide visited leaves 8-ways (ProcOctree, PersSampler.cpp:120-330)."""
+    n = tree.n_nodes
+    parent = tree.parent.copy()
+    childs = tree.childs.copy()
+    is_leaf = tree.is_leaf.copy()
+    trans_idx = tree.trans_idx.copy()
+    center = tree.center.copy()
+    side = tree.side.copy()
+    wstat = tree.weight_stats.copy()
+    astat = tree.alpha_stats.copy()
+    visit = tree.visit_cnt.copy()
+
+    if compact:
+        # detach invalid leaves, then cascade: nodes without valid children
+        # become (removable) leaves, repeated to fixpoint
+        while True:
+            for u in range(n):
+                if is_leaf[u] and trans_idx[u] < 0 and parent[u] >= 0:
+                    v = parent[u]
+                    childs[v][childs[v] == u] = -1
+            changed = False
+            for u in range(1, n):
+                if (childs[u] < 0).all():
+                    if not is_leaf[u]:
+                        changed = True
+                    is_leaf[u] = True
+            if not changed:
+                break
+
+        # path compression: splice single-child chains above valid nodes
+        def single_child(v):
+            cs = childs[v][childs[v] >= 0]
+            return cs[0] if len(cs) == 1 else -1
+
+        for u in range(n):
+            if is_leaf[u] and trans_idx[u] < 0:
+                continue
+            v = parent[u]
+            while v >= 0 and parent[v] >= 0 and single_child(v) >= 0:
+                vv = parent[v]
+                childs[vv][childs[vv] == v] = u
+                parent[u] = vv
+                trans_idx[v] = -1
+                is_leaf[v] = True  # removal flag
+                v = vv
+
+    keep = (~is_leaf) | (trans_idx >= 0)
+    keep[0] = True
+    new_idx = np.full(n, -1, np.int32)
+    new_idx[keep] = np.arange(keep.sum(), dtype=np.int32)
+
+    def remap(x):
+        return np.where(x >= 0, new_idx[np.clip(x, 0, n - 1)], -1)
+
+    order = np.nonzero(keep)[0]
+    center, side = center[order], side[order]
+    parent = remap(parent[order])
+    childs = remap(childs[order])
+    is_leaf, trans_idx = is_leaf[order], trans_idx[order]
+    wstat, astat, visit = wstat[order], astat[order], visit[order]
+
+    if subdivide:
+        # DFS re-pack with 8-way split of visited valid leaves
+        out = {k: [] for k in ("center", "side", "parent", "childs",
+                               "is_leaf", "trans_idx", "w", "a")}
+
+        def emit(vals):
+            for k, v in vals.items():
+                out[k].append(v)
+            return len(out["center"]) - 1
+
+        import sys
+        sys.setrecursionlimit(200000)
+
+        def rec(u, pa):
+            nu = emit(dict(center=center[u], side=side[u], parent=pa,
+                           childs=list(childs[u]), is_leaf=bool(is_leaf[u]),
+                           trans_idx=int(trans_idx[u]),
+                           w=int(wstat[u]), a=int(astat[u])))
+            if is_leaf[u]:
+                assert trans_idx[u] >= 0
+                if not brute_force and visit[u] <= 4:
+                    return nu
+                for st in range(8):
+                    off = np.array([(st >> 2) & 1, (st >> 1) & 1, st & 1]) - 0.5
+                    nv = emit(dict(center=center[u] + side[u] * 0.5 * off,
+                                   side=side[u] * 0.5, parent=nu,
+                                   childs=[-1] * 8, is_leaf=True,
+                                   trans_idx=int(trans_idx[u]),
+                                   w=int(wstat[u]), a=int(astat[u])))
+                    out["childs"][nu][st] = nv
+                out["is_leaf"][nu] = False
+                out["trans_idx"][nu] = -1
+                out["w"][nu] = INIT_NODE_STAT
+                out["a"][nu] = INIT_NODE_STAT
+            else:
+                assert trans_idx[u] < 0
+                for st in range(8):
+                    c = out["childs"][nu][st]
+                    if c >= 0:
+                        out["childs"][nu][st] = rec(c, nu)
+            return nu
+
+        rec(0, -1)
+        center = np.asarray(out["center"], np.float32).reshape(-1, 3)
+        side = np.asarray(out["side"], np.float32)
+        parent = np.asarray(out["parent"], np.int32)
+        childs = np.asarray(out["childs"], np.int32).reshape(-1, 8)
+        is_leaf = np.asarray(out["is_leaf"], bool)
+        trans_idx = np.asarray(out["trans_idx"], np.int32)
+        wstat = np.asarray(out["w"], np.int32)
+        astat = np.asarray(out["a"], np.int32)
+
+    return OctreeHost(
+        center=center, side=side, parent=parent, childs=childs,
+        is_leaf=is_leaf, trans_idx=trans_idx,
+        weight_stats=wstat, alpha_stats=astat,
+        visit_cnt=np.zeros(len(side), np.int32),
+        w2xz=tree.w2xz, weight=tree.weight, t_center=tree.t_center,
+        t_dis=tree.t_dis, edge_t=tree.edge_t, edge_center=tree.edge_center,
+        edge_dir0=tree.edge_dir0, edge_dir1=tree.edge_dir1,
+        side_len=tree.side_len, milestones=list(tree.milestones),
+    )
+
+
+def mark_invisible_nodes(tree: OctreeHost, intri: np.ndarray, w2c: np.ndarray,
+                         bounds: np.ndarray) -> None:
+    """Invalidate nodes seen by < 1 camera (MarkInvisibleNodesKernel,
+    PersSampler.cu:618-680). Vectorized over nodes x cams."""
+    c = tree.center.astype(np.float64)            # [n, 3]
+    radius = tree.side.astype(np.float64) * 0.707  # [n]
+    # cam-space points: [n, cams, 3]
+    cam_pt = np.einsum("kab,nb->nka", w2c[:, :3, :3].astype(np.float64), c) \
+        + w2c[:, :3, 3].astype(np.float64)[None]
+    z = -cam_pt[..., 2]
+    vis = ~((z < bounds[None, :, 0] - radius[:, None]) |
+            (z > bounds[None, :, 1] + radius[:, None]))
+    close = np.linalg.norm(cam_pt, axis=-1) < radius[:, None]
+    fx, fy = intri[:, 0, 0], intri[:, 1, 1]
+    cx, cy = intri[:, 0, 2], intri[:, 1, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bias_x = radius[:, None] / z * fx[None]
+        bias_y = radius[:, None] / z * fy[None]
+        ix = cam_pt[..., 0] / z * fx[None]
+        iy = cam_pt[..., 1] / z * fy[None]
+    in_img = ~((ix + bias_x < -cx[None]) | (ix > cx[None] + bias_x) |
+               (iy + bias_y < -cy[None]) | (iy > cy[None] + bias_y))
+    visible = (vis & (close | in_img)).sum(axis=1)
+    tree.trans_idx[visible < 1] = -1
+
+
+def maintain(tree: OctreeHost, iter_step: int, compact_freq: int,
+             intri: np.ndarray, w2c: np.ndarray, bounds: np.ndarray) -> tuple[OctreeHost, bool]:
+    """Milestone subdivision + periodic compaction (UpdateOctNodes tail,
+    PersSampler.cu:616-631). Returns (tree, changed)."""
+    changed = False
+    while tree.milestones and tree.milestones[-1] <= iter_step:
+        tree = proc_octree(tree, True, True, tree.milestones[-1] <= 0)
+        mark_invisible_nodes(tree, intri, w2c, bounds)
+        tree = proc_octree(tree, True, False, False)
+        tree.milestones.pop()
+        changed = True
+    if iter_step % compact_freq == 0:
+        tree = proc_octree(tree, True, False, False)
+        changed = True
+    return tree, changed

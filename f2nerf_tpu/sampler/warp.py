@@ -1,0 +1,184 @@
+"""Perspective-warp construction for octree leaves (host-side numpy).
+
+Re-implements the semantics of PersOctree::ConstructTrans (reference
+PersSampler.cpp:437-612) and DistanceSummary (PersSampler.cpp:16-25):
+
+Each valid octree leaf gets a warp into a compact 3D frame built from
+projections onto N_PROS=12 virtual pinhole cameras:
+  1. robust distance summary: exp(mean of log-distances below the 1st
+     quartile) over visible-camera distances;
+  2. greedy farthest-point selection of 6 cameras on the unit sphere of
+     directions around the node center;
+  3. each selected camera is rotated so its z-axis points at the node center
+     and pushed out to at least dis_summary; focal is fx/cx of camera 0,
+     scaled by dis/dis_summary (clipped >= 1);
+  4. 12 projection rows (x-rows and y-rows of the 6 cameras) form [12, 2, 4]
+     world->(u, depth) maps; projected coords v_i = a_i / b_i;
+  5. PCA over the 12-dim projected coordinates of 32^3 random in-node points
+     gives a [3, 12] weight matrix, normalized so the mean per-axis Jacobian
+     magnitude (warp -> image) is 1 (unit warp step ~ one pixel).
+
+This runs at octree construction only (init + subdivision milestones reuse
+existing warps), so plain numpy is the right tool; results are uploaded to
+device as flat arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_PROS = 12
+
+
+def distance_summary(dis: np.ndarray) -> float:
+    """exp(mean of log-distances below the first quartile); 1e8 if empty.
+
+    Falls back to exp(mean(log)) when the below-quartile mask is empty
+    (reference PersSampler.cpp:16-25).
+    """
+    dis = np.asarray(dis, np.float64).reshape(-1)
+    if dis.size <= 0:
+        return 1e8
+    log_dis = np.log(np.maximum(dis, 1e-30))
+    thres = np.quantile(log_dis, 0.25)
+    mask = log_dis < thres
+    if mask.sum() < 1e-3:
+        return float(np.exp(log_dis.mean()))
+    return float(np.exp(log_dis[mask].mean()))
+
+
+def _pca_rows(pts: np.ndarray) -> np.ndarray:
+    """Top-3 principal directions of [n, k] points as rows [3, k]
+    (reference PersSampler.cpp:423-435)."""
+    moved = pts - pts.mean(axis=0, keepdims=True)
+    cov = (moved[:, :, None] * moved[:, None, :]).mean(axis=0)
+    l, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(l)[::-1]
+    return v[:, order[:3]].T  # rows = top eigenvectors
+
+
+def _rot_align(from_z: np.ndarray, to_z: np.ndarray) -> np.ndarray:
+    """Rotation matrix R with (row-vector convention) from_z @ R.T == to_z.
+
+    Mirrors the angle-axis construction at PersSampler.cpp:525-546:
+    angle = asin(|cross|), flipped through pi when the dot is negative.
+    """
+    crossed = np.cross(from_z, to_z)
+    sin_val = np.linalg.norm(crossed)
+    cos_val = float(np.dot(from_z, to_z))
+    angle = np.arcsin(np.clip(sin_val, -1.0, 1.0))
+    if cos_val < 0.0:
+        angle = np.pi - angle
+    if sin_val < 1e-12:
+        return np.eye(3) if cos_val > 0 else -np.eye(3)
+    axis = crossed / sin_val
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+
+
+def construct_trans(rand_pts: np.ndarray, c2w: np.ndarray, intri: np.ndarray,
+                    center: np.ndarray, rng: np.random.Generator) -> dict:
+    """Build one leaf warp.
+
+    rand_pts: [n_pts, 3] random points inside the node.
+    c2w: [n_cams, 3, 4] poses of the cameras that see the node.
+    intri: [3, 3] shared intrinsics (camera 0's, PersSampler.cpp:418).
+    center: [3] node center.
+    Returns dict(w2xz [12,2,4], weight [3,12], center [3], dis_summary).
+    """
+    n_virt = N_PROS // 2
+    n_cams = c2w.shape[0]
+    center = np.asarray(center, np.float64)
+    cam_pos = c2w[:, :3, 3].astype(np.float64)
+    cam_axes = np.linalg.inv(c2w[:, :3, :3].astype(np.float64))  # rows = axes
+
+    dis = np.linalg.norm(cam_pos - center, axis=-1)
+    dis_sum = distance_summary(dis)
+    normed = (cam_pos - center) / dis[:, None]
+
+    # greedy farthest-point selection on normalized positions
+    pair_dis = np.linalg.norm(normed[None] - normed[:, None], axis=-1)
+    good = [int(rng.integers(n_cams))]
+    marks = np.zeros(n_cams, bool)
+    marks[good[0]] = True
+    for _ in range(1, min(n_virt, n_cams)):
+        cand_dis = pair_dis[:, marks].min(axis=1)
+        cand_dis[marks] = -1.0
+        cand = int(np.argmax(cand_dis))
+        marks[cand] = True
+        good.append(cand)
+    i = 0
+    while len(good) < n_virt:
+        good.append(good[i])
+        i += 1
+
+    cam_scale = np.clip(dis / dis_sum, 1.0, 1e9)
+    rel_pos = normed * np.clip(dis, dis_sum, 1e9)[:, None]
+
+    g = np.asarray(good)
+    good_pos = rel_pos[g] + center          # virtual cam world position
+    good_rel = rel_pos[g]
+    good_axes = cam_axes[g].copy()          # [6, 3, 3] rows = x, y, z axes
+    good_scale = cam_scale[g]
+
+    expect_z = good_rel / np.linalg.norm(good_rel, axis=-1, keepdims=True)
+    for i in range(n_virt):
+        r = _rot_align(good_axes[i, 2], expect_z[i])
+        good_axes[i] = good_axes[i] @ r.T
+    assert np.abs(good_axes[:, 2] - expect_z).max() < 1e-3
+
+    focal = float(intri[0, 0] / intri[0, 2])
+    x_axis = good_axes[:, 0] * focal * good_scale[:, None]
+    y_axis = good_axes[:, 1] * focal * good_scale[:, None]
+    z_axis = good_axes[:, 2]
+
+    row0 = np.concatenate([x_axis, y_axis], axis=0)       # [12, 3]
+    row1 = np.concatenate([z_axis, z_axis], axis=0)       # [12, 3]
+    wp_pos = np.concatenate([good_pos, good_pos], axis=0)  # [12, 3]
+    w2xz = np.zeros((N_PROS, 2, 4))
+    w2xz[:, 0, :3] = row0
+    w2xz[:, 1, :3] = row1
+    w2xz[:, 0, 3] = -(row0 * wp_pos).sum(-1)
+    w2xz[:, 1, 3] = -(row1 * wp_pos).sum(-1)
+
+    # projected coords + Jacobian of v = a/b wrt world xyz
+    pts = np.asarray(rand_pts, np.float64)
+    a = pts @ w2xz[:, 0, :3].T + w2xz[:, 0, 3]   # [n, 12]
+    b = pts @ w2xz[:, 1, :3].T + w2xz[:, 1, 3]   # [n, 12]
+    assert b.max() < 0.0, "points must be in front of the virtual cameras"
+    dv_da = 1.0 / b
+    dv_db = a / (-b * b)
+    dv_dxyz = dv_da[..., None] * w2xz[None, :, 0, :3] + \
+        dv_db[..., None] * w2xz[None, :, 1, :3]  # [n, 12, 3]
+    v = a / b
+
+    weight = _pca_rows(v)  # [3, 12]
+
+    jac = np.einsum("ak,nkc->nac", weight, dv_dxyz)       # [n, 3, 3] warp wrt world
+    jac_w2w = np.linalg.inv(jac)                           # world wrt warp
+    jac_w2i = np.einsum("nkc,nca->nka", dv_dxyz, jac_w2w)  # [n, 12, 3] image wrt warp
+    jac_max = np.abs(jac_w2i).max(axis=1)                  # [n, 3]
+    mean_step = (1.0 / jac_max).mean(axis=0)               # [3]
+    weight = weight / mean_step[:, None]
+
+    return dict(
+        w2xz=w2xz.astype(np.float32),
+        weight=weight.astype(np.float32),
+        center=np.asarray(center, np.float32),
+        dis_summary=np.float32(dis_sum),
+    )
+
+
+def apply_warp_np(trans: dict, pts: np.ndarray) -> np.ndarray:
+    """Numpy warp application (test helper; device version in device.py).
+
+    Matches QueryFrameTransform (PersSampler.cu:155-168): v_i = a_i/b_i,
+    out = weight @ v.
+    """
+    pts = np.asarray(pts, np.float64)
+    a = pts @ trans["w2xz"][:, 0, :3].T.astype(np.float64) + trans["w2xz"][:, 0, 3]
+    b = pts @ trans["w2xz"][:, 1, :3].T.astype(np.float64) + trans["w2xz"][:, 1, 3]
+    v = a / b
+    return (v @ np.asarray(trans["weight"], np.float64).T).astype(np.float32)

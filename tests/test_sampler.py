@@ -1,0 +1,250 @@
+"""Sampler tests: warp construction invariants, octree build/maintenance,
+device traversal vs. brute-force, ray marching behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f2nerf_tpu.sampler import octree as oc
+from f2nerf_tpu.sampler import device as dv
+from f2nerf_tpu.sampler import warp as wp
+
+
+def synthetic_rig(n_cams=24, radius=2.0, target=(0, 0, 0), seed=0):
+    """Cameras on a ring looking at the origin (OpenGL convention:
+    camera -z axis points at the target)."""
+    rng = np.random.RandomState(seed)
+    c2w = np.zeros((n_cams, 3, 4), np.float32)
+    for k in range(n_cams):
+        ang = 2 * np.pi * k / n_cams
+        pos = np.array([radius * np.cos(ang), radius * np.sin(ang),
+                        0.5 + 0.1 * rng.randn()])
+        fwd = np.asarray(target) - pos
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(right, fwd)
+        # columns: x=right, y=up, z=-forward (so -z looks at target)
+        c2w[k, :3, 0] = right
+        c2w[k, :3, 1] = up2
+        c2w[k, :3, 2] = -fwd
+        c2w[k, :3, 3] = pos
+    intri = np.tile(np.array([[200.0, 0, 160], [0, 200, 120], [0, 0, 1]],
+                             np.float32), (n_cams, 1, 1))
+    bounds = np.tile(np.array([0.1, 10.0], np.float32), (n_cams, 1))
+    w2c = np.zeros_like(c2w)
+    for k in range(n_cams):
+        full = np.eye(4, dtype=np.float32)
+        full[:3] = c2w[k]
+        w2c[k] = np.linalg.inv(full)[:3]
+    return c2w, w2c, intri, bounds
+
+
+CFG = dict(bbox_levels=6, max_level=5, split_dist_thres=1.5,
+           sub_div_milestones=[2000, 4000, 6000, 8000, 10000])
+
+
+@pytest.fixture(scope="module")
+def tree():
+    c2w, w2c, intri, bounds = synthetic_rig()
+    return oc.build_octree(c2w, w2c, intri, bounds, CFG, seed=0)
+
+
+def test_build_octree_invariants(tree):
+    assert tree.n_nodes > 1
+    assert tree.n_trans > 0
+    # parent/child consistency
+    for u in range(tree.n_nodes):
+        for st in range(8):
+            c = tree.childs[u, st]
+            if c >= 0:
+                assert tree.parent[c] == u
+    # leaves have no children; internal nodes have trans_idx -1
+    leaf = tree.is_leaf
+    assert (tree.childs[leaf] < 0).all()
+    assert (tree.trans_idx[~leaf] == -1).all()
+    # children live inside parents
+    for u in range(tree.n_nodes):
+        p = tree.parent[u]
+        if p >= 0:
+            assert (np.abs(tree.center[u] - tree.center[p])
+                    <= tree.side[p] / 2).all()
+
+
+def test_warp_construction_invariants(tree):
+    # unit Jacobian normalization: mean per-axis step magnitude ~ 1
+    rng = np.random.RandomState(1)
+    valid = np.nonzero(tree.trans_idx >= 0)[0]
+    u = valid[0]
+    ti = tree.trans_idx[u]
+    trans = dict(w2xz=tree.w2xz[ti], weight=tree.weight[ti])
+    pts = (rng.rand(4096, 3) - 0.5) * tree.side[u] + tree.center[u]
+    warped = wp.apply_warp_np(trans, pts)
+    assert np.isfinite(warped).all()
+    # warp must be locally injective: numeric Jacobian non-singular
+    e = 1e-3 * tree.side[u]
+    p0 = tree.center[u][None]
+    j = np.stack([
+        (wp.apply_warp_np(trans, p0 + np.eye(3)[k] * e)[0]
+         - wp.apply_warp_np(trans, p0 - np.eye(3)[k] * e)[0]) / (2 * e)
+        for k in range(3)], axis=1)
+    assert abs(np.linalg.det(j)) > 1e-6
+
+
+def test_distance_summary():
+    d = np.array([1.0, 1.0, 1.0, 100.0])
+    # quartile of logs ~ log(1); mask selects nothing below -> fallback mean
+    s = wp.distance_summary(d)
+    assert 0.5 < s < 100.0
+    assert wp.distance_summary(np.array([])) == 1e8
+
+
+def _brute_force_hits(tree, o, d, near, far):
+    """All valid leaves intersected by the ray, sorted by entry t."""
+    hits = []
+    for u in range(tree.n_nodes):
+        if not tree.is_leaf[u] or tree.trans_idx[u] < 0:
+            continue
+        lo = tree.center[u] - tree.side[u] / 2
+        hi = tree.center[u] + tree.side[u] / 2
+        with np.errstate(divide="ignore"):
+            t0 = (lo - o) / d
+            t1 = (hi - o) / d
+        tn = max(np.minimum(t0, t1).max(), near)
+        tf = min(np.maximum(t0, t1).min(), far)
+        if tn < tf:
+            hits.append((tn, tf, u))
+    hits.sort()
+    return hits
+
+
+def test_traversal_matches_brute_force(tree):
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    rng = np.random.RandomState(2)
+    R = 64
+    o = rng.uniform(-3, 3, (R, 3)).astype(np.float32)
+    d = rng.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full(R, 0.05, np.float32)
+    far = np.full(R, 1e8, np.float32)
+    hit_idx, hit_near, hit_far, n_hits = dv.traverse(
+        dtree, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+        jnp.asarray(far), max_hits=64)
+    hit_idx, hit_near, hit_far, n_hits = map(np.asarray, (hit_idx, hit_near, hit_far, n_hits))
+    for r in range(R):
+        bf = _brute_force_hits(tree, o[r], d[r], near[r], far[r])
+        got = [(hit_near[r, k], hit_far[r, k], hit_idx[r, k])
+               for k in range(n_hits[r])]
+        assert len(got) == len(bf), f"ray {r}: {len(got)} vs {len(bf)}"
+        for (gn, gf, gu), (bn, bfar, bu) in zip(got, bf):
+            assert gu == bu, f"ray {r}"
+            np.testing.assert_allclose(gn, bn, atol=1e-3)
+            np.testing.assert_allclose(gf, bfar, atol=1e-3)
+
+
+def test_ray_march_uniform_steps(tree):
+    """With noise == 1 the warp-space step dt must equal sample_l (per
+    RayMarchKernel: dt = exp_step * |J d| = sample_l * noise)."""
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    rng = np.random.RandomState(3)
+    R = 16
+    o = rng.uniform(-2, 2, (R, 3)).astype(np.float32)
+    d = rng.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full(R, 0.05, np.float32)
+    far = np.full(R, 1e8, np.float32)
+    hits = dv.traverse(dtree, jnp.asarray(o), jnp.asarray(d),
+                       jnp.asarray(near), jnp.asarray(far), max_hits=64)
+    max_s = 256
+    noise = jnp.ones((R + max_s + 16,))
+    sample_l = 1.0 / 64
+    out_t, out_dt, out_node, n_s, first_oct = dv.ray_march(
+        dtree, jnp.asarray(o), jnp.asarray(d), *hits, noise, sample_l,
+        False, max_s)
+    out_t, out_dt, out_node, n_s = map(np.asarray, (out_t, out_dt, out_node, n_s))
+    assert (n_s > 0).any()
+    for r in range(R):
+        k = n_s[r]
+        if k == 0:
+            continue
+        # warp-space steps are sample_l exactly
+        np.testing.assert_allclose(out_dt[r, :k], sample_l, rtol=1e-4)
+        # t strictly increasing, all samples inside some emitted hit
+        assert (np.diff(out_t[r, :k]) > 0).all()
+        assert (out_node[r, :k] >= 0).all()
+        hi, hn, hf, nh = map(np.asarray, hits)
+        for s in range(k):
+            u = out_node[r, s]
+            j = list(hi[r, :nh[r]]).index(u)
+            assert hn[r, j] - 1e-3 <= out_t[r, s] <= hf[r, j] + 1e-3
+
+
+def test_proc_octree_compact_and_subdivide(tree):
+    t2 = oc.proc_octree(tree, True, False, False)
+    assert t2.n_nodes <= tree.n_nodes
+    n_valid_before = (tree.trans_idx >= 0).sum()
+    assert (t2.trans_idx >= 0).sum() == n_valid_before
+    # invalidate half the leaves, compact again -> fewer nodes
+    t3 = oc.proc_octree(t2, True, False, False)
+    valid = np.nonzero(t3.trans_idx >= 0)[0]
+    t3.trans_idx[valid[: len(valid) // 2]] = -1
+    t4 = oc.proc_octree(t3, True, False, False)
+    assert (t4.trans_idx >= 0).sum() == len(valid) - len(valid) // 2
+    assert t4.n_nodes <= t3.n_nodes
+    # brute-force subdivision grows the tree 8x per valid leaf
+    t5 = oc.proc_octree(t2, True, True, True)
+    assert t5.n_nodes > t2.n_nodes
+    assert (t5.trans_idx >= 0).sum() == 8 * n_valid_before
+
+
+def test_update_occupancy_invalidates_dead_nodes(tree):
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    valid_nodes = np.nonzero(np.asarray(dtree.trans_idx) >= 0)[0]
+    u_dead = int(valid_nodes[0])
+    u_live = int(valid_nodes[1])
+    n_rays, cap = 4, 64
+    node_idx = np.full(cap, -1, np.int32)
+    ray_id = np.full(cap, n_rays, np.int32)
+    w = np.zeros(cap, np.float32)
+    a = np.zeros(cap, np.float32)
+    # ray 0 passes through dead node (tiny weights) then live node (big)
+    node_idx[:8] = u_dead
+    node_idx[8:16] = u_live
+    ray_id[:16] = 0
+    w[:8] = 1e-6
+    a[:8] = 1e-6
+    w[8:16] = 0.5
+    a[8:16] = 0.5
+    d2 = dtree
+    for _ in range(1200):  # INIT_NODE_STAT=1000 decrements of -1
+        d2 = dv.update_occupancy(d2, jnp.asarray(node_idx), jnp.asarray(ray_id),
+                                 jnp.asarray(w), jnp.asarray(a), n_rays)
+        if int(d2.trans_idx[u_dead]) < 0:
+            break
+    assert int(d2.trans_idx[u_dead]) == -1
+    assert int(d2.trans_idx[u_live]) >= 0
+    assert int(d2.weight_stats[u_live]) >= oc.INIT_NODE_STAT
+    assert int(d2.visit_cnt[u_dead]) == 8
+
+
+def test_edge_pool_and_sampling(tree):
+    if tree.edge_t.shape[0] == 0:
+        pytest.skip("no edges in synthetic tree")
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    pts, idx = dv.sample_edges(dtree, jax.random.PRNGKey(0), 128)
+    assert pts.shape == (128, 2, 3)
+    assert np.isfinite(np.asarray(pts)).all()
+    assert (np.asarray(idx) >= 0).all()
+
+
+def test_maintain_runs(tree):
+    c2w, w2c, intri, bounds = synthetic_rig()
+    t = oc.proc_octree(tree, True, False, False)
+    t.visit_cnt[:] = 100  # everything visited -> milestone subdivides
+    n_milestones = len(t.milestones)
+    t2, changed = oc.maintain(t, 2000, 1000, intri, w2c, bounds)
+    assert changed
+    assert len(t2.milestones) == n_milestones - 1
+    assert t2.n_nodes >= t.n_nodes
