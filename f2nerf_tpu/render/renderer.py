@@ -1,0 +1,245 @@
+"""Full render pipeline: sample -> prefilter -> field/shader -> composite.
+
+TPU-native equivalent of Renderer::Render (reference Renderer.cpp:52-213):
+
+  1. octree traversal + ray marching into dense per-ray buffers, compacted
+     to a flat capacity-CAP1 sample buffer (the reference's ragged arrays);
+  2. no-grad density prefilter: keep samples with transmittance > 1e-4
+     ("early stop", Renderer.cpp:106-137), compacting to CAP2;
+  3. occupancy-stat update from the prefilter weights/alphas
+     (Renderer.cpp:140-149) — functional, returns a new tree;
+  4. grad pass: anchored hash field on kept samples (+ 8192x2 TV edge
+     samples in training, Renderer.cpp:159-170), SH shader with optional
+     per-image appearance embedding (Renderer.cpp:184-187), early-training
+     gradient scaling (Renderer.cpp:190-195);
+  5. alpha compositing via segmented scans (Renderer.cpp:196-208):
+     alpha = 1-exp(-sigma*dt), trans = exp(-cumsum_excl), w = trans*alpha,
+     color += last_trans * bg; disparity/depth from t + 1e-2.
+
+Everything is fixed-shape: ray count, MAX_HITS, MAX_S, CAP1, CAP2 are
+static per jit cache entry; the adaptive batch controller picks a bucket.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.hash_encoding import hash_encode
+from ..fields.mlp import mlp_apply
+from ..fields.sh import sh_encode
+from ..ops.activations import density_activation, gradient_scaling, trunc_exp
+from ..ops.segment import (first_flags_from_ray_id, local_index,
+                           segment_cumsum, segment_sum)
+from ..sampler import device as dv
+
+
+class RenderStatics(NamedTuple):
+    """Static (compile-time) render configuration."""
+    max_hits: int
+    max_s: int
+    cap1: int
+    cap2: int
+    n_edge: int
+    log2_table_size: int
+    sh_degree: int
+    sample_l: float
+    global_near: float
+    scale_by_dis: bool
+    use_app_emb: bool
+    bg_mode: str          # 'rand_noise' | 'white' | 'black'
+    train: bool
+
+
+def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
+             ray_id_src=None, max_s: int = None):
+    """Compact flat sample arrays keeping `valid` rows, padded to `cap`.
+
+    Returns (gathered fields, ray_id, valid_mask, kept_idx).
+    If ray_id_src is None, ray ids derive from position // max_s (dense
+    [n_rays, max_s] row-major source)."""
+    idx = jnp.nonzero(valid_flat, size=cap, fill_value=valid_flat.shape[0])[0]
+    ok = idx < valid_flat.shape[0]
+    idx_c = jnp.minimum(idx, valid_flat.shape[0] - 1)
+    out = {k: jnp.where(ok.reshape((-1,) + (1,) * (v.ndim - 1)),
+                        v[idx_c], jnp.zeros_like(v[:1]))
+           for k, v in fields.items()}
+    if ray_id_src is None:
+        rid = (idx_c // max_s).astype(jnp.int32)
+    else:
+        rid = ray_id_src[idx_c]
+    rid = jnp.where(ok, rid, n_rays).astype(jnp.int32)
+    return out, rid, ok, idx_c
+
+
+def _field_query(params, consts, pts01, vol_idx, statics: RenderStatics):
+    """hash encode + field MLP -> [n, 16] scene features
+    (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99)."""
+    feat = hash_encode(params["feat_pool"], consts["prim_pool"],
+                       consts["bias_pool"], pts01, vol_idx,
+                       statics.log2_table_size)
+    return mlp_apply(params["field_mlp"], feat)
+
+
+def _shader_query(params, shading_feat, dirs, statics: RenderStatics):
+    """SH encode + shader MLP + eps-widened sigmoid
+    (SHShader::Query, SHShader.cpp:23-29)."""
+    enc = sh_encode(dirs, statics.sh_degree)
+    x = jnp.concatenate([shading_feat, enc], axis=-1)
+    out = mlp_apply(params["shader_mlp"], x)
+    eps = 1e-3
+    return (1.0 + 2.0 * eps) * jax.nn.sigmoid(out) - eps
+
+
+def render(params: dict, consts: dict, tree: dv.DeviceTree,
+           rays_o: jnp.ndarray, rays_d: jnp.ndarray, emb_idx: jnp.ndarray,
+           key: jax.Array, fineness: jnp.ndarray, grad_progress: jnp.ndarray,
+           statics: RenderStatics):
+    """Render a fixed-size ray batch. Returns (result dict, new tree).
+
+    params: feat_pool, field_mlp, shader_mlp, app_emb (trainable pytree).
+    consts: prim_pool, bias_pool (fixed buffers).
+    emb_idx: [R] int32 per-ray image index (appearance embedding).
+    fineness / grad_progress: runtime scalars (no recompile across steps).
+    """
+    st = statics
+    R = rays_o.shape[0]
+    k_noise, k_bg, k_edge = jax.random.split(key, 3)
+
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    # --- sampling (GetSamples ignores per-ray bounds: PersSampler.cu:322-325)
+    near = jnp.full((R,), st.global_near)
+    far = jnp.full((R,), 1e8)
+    hit_idx, hit_near, hit_far, n_hits = dv.traverse(
+        tree, rays_o, rays_d, near, far, st.max_hits)
+
+    if st.train:
+        noise = (jax.random.uniform(k_noise, (R + st.max_s + 16,)) - 0.5) + 1.0
+    else:
+        noise = jnp.ones((R + st.max_s + 16,))
+    noise = noise * fineness
+
+    out_t, out_dt, out_node, n_s, first_oct = dv.ray_march(
+        tree, rays_o, rays_d, hit_idx, hit_near, hit_far, n_hits,
+        noise, st.sample_l, st.scale_by_dis, st.max_s)
+
+    # --- compact dense -> flat buffer A [CAP1]
+    pos = jnp.arange(st.max_s, dtype=jnp.int32)
+    valid_dense = (pos[None, :] < n_s[:, None]).reshape(-1)
+    a, rid_a, ok_a, _ = _compact(
+        valid_dense, st.cap1,
+        dict(t=out_t.reshape(-1), dt=out_dt.reshape(-1),
+             node=out_node.reshape(-1)),
+        R, max_s=st.max_s)
+    rid_ac = jnp.minimum(rid_a, R - 1)
+    node_a = jnp.where(ok_a, a["node"], 0)
+    trans_a = jnp.maximum(tree.trans_idx[node_a], 0)
+    xyz_a = rays_o[rid_ac] + rays_d[rid_ac] * a["t"][:, None]
+    warp_a = dv.apply_warp(tree, trans_a, xyz_a)
+    pts01_a = (warp_a + 1.0) * 0.5
+    dirs_a = rays_d[rid_ac]
+
+    # --- no-grad prefilter (Renderer.cpp:106-137)
+    feat_a = jax.lax.stop_gradient(
+        _field_query(params, consts, pts01_a, trans_a, st))
+    sigma_a = density_activation(feat_a[:, 0])
+    sigma_a = jnp.where(ok_a, sigma_a, 0.0)
+    sec_a = sigma_a * a["dt"]
+    first_a = first_flags_from_ray_id(rid_a, R)
+    acc_a = segment_cumsum(sec_a, first_a, exclusive=True)
+    trans_vis_a = jnp.exp(-acc_a)
+    alpha_a = 1.0 - jnp.exp(-sec_a)
+    weights_a = trans_vis_a * alpha_a
+    keep = ok_a & (trans_vis_a > 1e-4)
+
+    new_tree = tree
+    if st.train:
+        new_tree = dv.update_occupancy(
+            tree, jnp.where(ok_a, a["node"], -1), rid_a,
+            jax.lax.stop_gradient(weights_a), jax.lax.stop_gradient(alpha_a), R)
+
+    # --- compact A -> B [CAP2] (FilterIdxBounds equivalent)
+    b, rid_b, ok_b, _ = _compact(
+        keep, st.cap2,
+        dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
+             dirs=dirs_a, node=a["node"]),
+        R, ray_id_src=rid_a)
+    rid_bc = jnp.minimum(rid_b, R - 1)
+    vol_b = jnp.where(ok_b, b["trans"], 0)
+
+    # --- grad-enabled field query (+ edge samples for TV loss)
+    if st.train:
+        edge_pts, edge_anchor = dv.sample_edges(tree, k_edge, st.n_edge)
+        q_pts01 = jnp.concatenate(
+            [b["pts01"], (edge_pts.reshape(-1, 3) + 1.0) * 0.5], axis=0)
+        q_vol = jnp.concatenate([vol_b, edge_anchor.reshape(-1)], axis=0)
+        all_feat = _field_query(params, consts, q_pts01, q_vol, st)
+        scene_feat = all_feat[: st.cap2]
+        edge_feat = all_feat[st.cap2:].reshape(st.n_edge, 2, -1)
+    else:
+        scene_feat = _field_query(params, consts, b["pts01"], vol_b, st)
+        edge_feat = None
+
+    sigma = density_activation(scene_feat[:, :1])
+    sigma = jnp.where(ok_b[:, None], sigma, 0.0)
+    shading_feat = jnp.concatenate(
+        [jnp.ones_like(scene_feat[:, :1]), scene_feat[:, 1:]], axis=-1)
+    if st.train and st.use_app_emb:
+        shading_feat = shading_feat + params["app_emb"][emb_idx[rid_bc]]
+
+    colors_s = _shader_query(params, shading_feat, b["dirs"], st)
+
+    i_local = local_index(rid_b, R)
+    counts_b = segment_sum(jnp.ones_like(rid_b, jnp.float32), rid_b, R)
+    count_of = jnp.maximum(counts_b[rid_bc], 1.0)
+    a_norm = (i_local.astype(jnp.float32) + 0.5) / count_of
+    sigma = gradient_scaling(sigma, a_norm, grad_progress)
+    colors_s = gradient_scaling(colors_s, a_norm, grad_progress)
+
+    # --- composite (Renderer.cpp:196-208)
+    sampled_t = b["t"] + 1e-2
+    sec = sigma[:, 0] * b["dt"]
+    first_b = first_flags_from_ray_id(rid_b, R)
+    acc = segment_cumsum(sec, first_b, exclusive=True)
+    trans_vis = jnp.exp(-acc)
+    alpha = 1.0 - jnp.exp(-sec)
+    weights = trans_vis * alpha
+    weights = jnp.where(ok_b, weights, 0.0)
+
+    if st.bg_mode == "white":
+        bg = jnp.ones((R, 3))
+    elif st.bg_mode == "black":
+        bg = jnp.zeros((R, 3))
+    elif st.train:
+        bg = jax.random.uniform(k_bg, (R, 3))
+    else:
+        bg = jnp.full((R, 3), 0.5)
+
+    last_trans = jnp.exp(-segment_sum(sec, rid_b, R))
+    colors = segment_sum(weights[:, None] * colors_s, rid_b, R)
+    colors = colors + last_trans[:, None] * bg
+    disparity = segment_sum(weights / sampled_t, rid_b, R)
+    depth = segment_sum(weights * sampled_t, rid_b, R) / (1.0 - last_trans + 1e-4)
+
+    result = dict(
+        colors=colors,
+        first_oct_dis=first_oct,
+        disparity=disparity,
+        depth=depth,
+        edge_feats=edge_feat,
+        weights=weights,
+        ray_id=rid_b,
+        i_local=i_local,
+        last_trans=last_trans,
+        stats=dict(
+            n_sampled=jnp.sum(ok_a.astype(jnp.float32)),
+            n_meaningful=jnp.sum(keep.astype(jnp.float32)),
+            n_oct_hits=jnp.sum(n_hits.astype(jnp.float32)),
+            overflow_a=jnp.sum(n_s.astype(jnp.float32)) - jnp.sum(ok_a.astype(jnp.float32)),
+            overflow_b=jnp.sum(keep.astype(jnp.float32)) - jnp.sum(ok_b.astype(jnp.float32)),
+        ),
+    )
+    return result, new_tree

@@ -1,0 +1,402 @@
+"""Training driver: the ExpRunner equivalent (reference ExpRunner.cpp).
+
+One jitted ``train_step`` per ray-batch bucket runs the full pipeline:
+random ray batch -> render (sample/prefilter/field/shader/composite) ->
+losses -> grads -> NaN-guarded Adam -> occupancy update. The host loop
+handles schedules, the adaptive batch-size controller, octree maintenance
+at milestones, logging, and checkpoints.
+
+Losses (ExpRunner.cpp:96-118):
+  color: mean sqrt((pred-gt)^2 + 1e-4)       (charbonnier)
+  disparity: mean disp^2 * disp_loss_weight
+  tv: mean (edge_a - edge_b)^2 * tv_loss_weight
+  var: mean sqrt(WeightVar + 1e-2) * scheduled weight
+
+Optimizer (Hash3DAnchored.cpp:124-150, SHShader.cpp:44-56,
+Renderer.cpp:238-258): Adam betas (0.9, 0.99), eps 1e-15; weight decay
+1e-6 on MLPs and the appearance embedding, none on the feature pool; decay
+added to the gradient before the moment update (torch semantics). The
+reference's NaN skip (ExpRunner.cpp:131-137, fp16 loss-scale underflow) is
+kept as a cheap all-finite guard even though bf16/f32 rarely needs it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import dataset as ds
+from ..fields import hash_encoding as he
+from ..fields.mlp import init_mlp
+from ..ops.activations import weight_var
+from ..render.renderer import RenderStatics, render
+from ..sampler import device as dv
+from ..sampler import octree as oc
+from . import schedules
+
+ADAM_KW = dict(b1=0.9, b2=0.99, eps=1e-15)
+WEIGHT_DECAY = 1e-6
+
+# batch-size buckets: ~sqrt(2) spacing keeps recompiles bounded while
+# tracking the reference's adaptive ray count (ExpRunner.cpp:86)
+BUCKETS = [512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+           12288, 16384, 24576, 32768]
+
+
+def pick_bucket(n: float) -> int:
+    for b in reversed(BUCKETS):
+        if n >= b:
+            return b
+    return BUCKETS[0]
+
+
+def max_s_for(n_rays: int, pts_batch: int) -> int:
+    """Per-ray sample cap for a bucket: bounded dense-buffer footprint."""
+    v = 4 * pts_batch // n_rays
+    p = 64
+    while p < v and p < 1024:
+        p *= 2
+    return p
+
+
+def init_params(key: jax.Array, cfg: dict, n_images: int, n_volumes: int):
+    """Trainable params + fixed buffers (field/shader/app_emb init per
+    Hash3DAnchored.cpp:19-82, SHShader.cpp:10-21, Renderer.cpp:38-39)."""
+    fcfg, scfg = cfg["field"], cfg["shader"]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    feat_pool, prim_pool, bias_pool = he.init_hash_state(
+        k1, int(fcfg["log2_table_size"]), n_volumes, bool(fcfg["rand_bias"]))
+    params = dict(
+        feat_pool=feat_pool,
+        field_mlp=init_mlp(k2, he.N_LEVELS * he.N_CHANNELS,
+                           int(fcfg["mlp_out_dim"]), int(fcfg["mlp_hidden_dim"]),
+                           int(fcfg["n_hidden_layers"])),
+        shader_mlp=init_mlp(k3, int(scfg["d_in"]), int(scfg["d_out"]),
+                            int(scfg["d_hidden"]), int(scfg["n_hiddens"])),
+        app_emb=jax.random.normal(k4, (n_images, 16)) * 0.1,
+    )
+    consts = dict(prim_pool=prim_pool, bias_pool=bias_pool)
+    return params, consts
+
+
+def make_optimizer():
+    def mask_decay(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not (path and getattr(path[0], "key", None) == "feat_pool"),
+            params)
+
+    return optax.chain(
+        optax.masked(optax.add_decayed_weights(WEIGHT_DECAY), mask_decay),
+        optax.scale_by_adam(**ADAM_KW),
+    )
+
+
+def render_statics(cfg: dict, n_rays: int, global_near: float,
+                   train: bool, max_s: int | None = None) -> RenderStatics:
+    t, p, r, f, s = (cfg["train"], cfg["pts_sampler"], cfg["renderer"],
+                     cfg["field"], cfg["shader"])
+    pts_batch = int(t["pts_batch_size"])
+    if max_s is None:
+        max_s = max_s_for(n_rays, pts_batch)
+    cap1 = min(n_rays * max_s, 2 * pts_batch)
+    cap2 = min(cap1, pts_batch)
+    return RenderStatics(
+        max_hits=min(int(p["max_oct_intersect_per_ray"]), 64),
+        max_s=max_s,
+        cap1=cap1,
+        cap2=cap2,
+        n_edge=8192,
+        log2_table_size=int(f["log2_table_size"]),
+        sh_degree=int(s["degree"]),
+        sample_l=float(p["sample_l"]),
+        # GetSamples ignores per-ray dataset bounds and uses the sampler's
+        # configured near (PersSampler.cu:322-325, PersSampler.cpp:678)
+        global_near=float(p["near"]),
+        scale_by_dis=bool(p["scale_by_dis"]),
+        use_app_emb=bool(r["use_app_emb"]),
+        bg_mode=str(r["bg_color"]),
+        train=train,
+    )
+
+
+def compute_losses(result: dict, gt: jnp.ndarray, n_rays: int,
+                   weights_cfg: dict, runtime: dict):
+    pred = result["colors"]
+    color_loss = jnp.mean(jnp.sqrt((pred - gt) ** 2 + 1e-4))
+    disp_loss = jnp.mean(result["disparity"] ** 2)
+    ef = result["edge_feats"]
+    tv_loss = jnp.mean((ef[:, 0, :] - ef[:, 1, :]) ** 2) if ef is not None else 0.0
+    var = weight_var(result["weights"], result["ray_id"], result["i_local"], n_rays)
+    var_loss = jnp.mean(jnp.sqrt(var + 1e-2))
+    loss = (color_loss
+            + var_loss * runtime["var_loss_weight"]
+            + disp_loss * weights_cfg["disp_loss_weight"]
+            + tv_loss * weights_cfg["tv_loss_weight"])
+    mse = jnp.mean((pred - gt) ** 2)
+    return loss, dict(loss=loss, color_loss=color_loss, disp_loss=disp_loss,
+                      tv_loss=tv_loss, var_loss=var_loss, mse=mse)
+
+
+def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
+    """Build the jitted train step for one ray-batch bucket."""
+    tcfg = cfg["train"]
+    loss_w = dict(disp_loss_weight=float(tcfg["disp_loss_weight"]),
+                  tv_loss_weight=float(tcfg["tv_loss_weight"]))
+    tx = make_optimizer()
+
+    @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
+    def step(params, opt_state, tree, consts, data, key, runtime, n_rays):
+        k_rays, k_render = jax.random.split(key)
+        rays_o, rays_d, bounds, gt, img_idx = ds.sample_rays(
+            data, k_rays, n_rays, height, width)
+
+        def loss_fn(p):
+            result, new_tree = render(
+                p, consts, tree, rays_o, rays_d, img_idx, k_render,
+                runtime["fineness"], runtime["grad_progress"], statics)
+            loss, aux = compute_losses(result, gt, n_rays, loss_w, runtime)
+            aux["stats"] = result["stats"]
+            return loss, (aux, new_tree)
+
+        grads, (aux, new_tree) = jax.grad(loss_fn, has_aux=True)(params)
+
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
+
+        def do_update(_):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u: -runtime["lr"] * u, updates)
+            return optax.apply_updates(params, updates), new_opt
+
+        def skip_update(_):
+            return params, opt_state
+
+        new_params, new_opt_state = jax.lax.cond(
+            finite, do_update, skip_update, None)
+        aux["grads_finite"] = finite
+        return new_params, new_opt_state, new_tree, aux
+
+    return step
+
+
+def make_render_fn(statics: RenderStatics):
+    """Jitted no-grad chunk renderer for eval/vis (RenderWholeImage,
+    ExpRunner.cpp:257-293 — 8192-ray chunks)."""
+
+    @jax.jit
+    def fn(params, consts, tree, rays_o, rays_d, fineness):
+        result, _ = render(params, consts, tree, rays_o, rays_d,
+                           jnp.zeros((rays_o.shape[0],), jnp.int32),
+                           jax.random.PRNGKey(0), fineness,
+                           jnp.asarray(1.0), statics)
+        return result["colors"], result["disparity"], result["first_oct_dis"]
+
+    return fn
+
+
+class Trainer:
+    """Host-side training orchestration (ExpRunner::Train)."""
+
+    def __init__(self, cfg: dict, base_exp_dir: str, data_path: str,
+                 seed: int = 2022, load_images: bool = True):
+        self.cfg = cfg
+        self.base_exp_dir = base_exp_dir
+        os.makedirs(base_exp_dir, exist_ok=True)
+        tcfg = cfg["train"]
+        self.pts_batch = int(tcfg["pts_batch_size"])
+        self.end_iter = int(tcfg["end_iter"])
+        self.iter_step = 0
+
+        self.dataset = ds.Dataset(data_path, cfg["dataset"], load_images=load_images)
+        self.data = self.dataset.device_arrays()
+
+        # octree over train cameras (PersSampler ctor, PersSampler.cpp:661-690)
+        c2w, w2c, intri, bounds = self.dataset.train_arrays
+        self.tree_host = oc.build_octree(c2w, w2c, intri, bounds,
+                                         cfg["pts_sampler"], seed=seed)
+        self.train_cams = (intri, w2c, bounds)
+        self.n_volumes = self.tree_host.n_trans
+        caps_cfg = cfg.get("capacity", {})
+        self.max_nodes = int(caps_cfg.get("max_nodes", 131072))
+        self.max_trans = int(caps_cfg.get("max_trans", 16384))
+        self.max_edges = int(caps_cfg.get("max_edges", 262144))
+        self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
+                                      self.max_trans, self.max_edges)
+
+        key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(key)
+        self.params, self.consts = init_params(
+            k_init, cfg, self.dataset.n_images, max(self.n_volumes, 1))
+        self.opt_state = make_optimizer().init(self.params)
+
+        self.compact_freq = int(cfg["pts_sampler"]["compact_freq"])
+        # EMA seeds (GlobalDataPool.h:23-25)
+        self.ema_sampled = 512.0
+        self.ema_meaningful = 512.0
+        self.ema_oct = 16.0
+        self.psnr_smooth = -1.0
+        self.mse_records: list[float] = []
+        self._step_cache: dict[int, object] = {}
+
+    # ------------------------------------------------------------------ steps
+
+    def _get_step(self, n_rays: int):
+        if n_rays not in self._step_cache:
+            st = render_statics(self.cfg, n_rays, self.dataset.near, train=True)
+            self._step_cache[n_rays] = (
+                make_train_step(self.cfg, st, self.dataset.height,
+                                self.dataset.width), st)
+        return self._step_cache[n_rays]
+
+    def cur_batch_size(self) -> int:
+        want = self.pts_batch / max(self.ema_meaningful, 1.0)
+        return pick_bucket(want)
+
+    def train_one(self):
+        tcfg = self.cfg["train"]
+        n_rays = self.cur_batch_size()
+        step_fn, st = self._get_step(n_rays)
+        runtime = dict(
+            lr=jnp.asarray(schedules.learning_rate(self.iter_step, tcfg)),
+            fineness=jnp.asarray(schedules.ray_march_fineness(self.iter_step, tcfg)),
+            grad_progress=jnp.asarray(
+                schedules.gradient_scaling_progress(self.iter_step, tcfg)),
+            var_loss_weight=jnp.asarray(
+                schedules.var_loss_weight(self.iter_step, tcfg)),
+        )
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, self.tree, aux = step_fn(
+            self.params, self.opt_state, self.tree, self.consts, self.data,
+            k, runtime, n_rays)
+
+        stats = aux["stats"]
+        self.ema_sampled = 0.9 * self.ema_sampled + \
+            0.1 * float(stats["n_sampled"]) / n_rays
+        self.ema_meaningful = 0.9 * self.ema_meaningful + \
+            0.1 * float(stats["n_meaningful"]) / n_rays
+        self.ema_oct = 0.9 * self.ema_oct + 0.1 * float(stats["n_oct_hits"]) / n_rays
+        mse = float(aux["mse"])
+        self.mse_records.append(mse)
+        psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
+        self.psnr_smooth = psnr if self.psnr_smooth < 0 else \
+            0.1 * psnr + 0.9 * self.psnr_smooth
+
+        self.iter_step += 1
+        self.maybe_maintain_tree()
+        return dict(n_rays=n_rays, psnr=psnr, **{k: float(v) for k, v in aux.items()
+                                                 if k not in ("stats",)},
+                    **{k: float(v) for k, v in stats.items()})
+
+    def maybe_maintain_tree(self):
+        t = self.tree_host
+        need_milestone = t.milestones and t.milestones[-1] <= self.iter_step
+        need_compact = self.iter_step % self.compact_freq == 0
+        if not (need_milestone or need_compact):
+            return
+        intri, w2c, bounds = self.train_cams
+        self.tree_host = dv.sync_host_tree(self.tree_host, self.tree)
+        self.tree_host, changed = oc.maintain(
+            self.tree_host, self.iter_step, self.compact_freq, intri, w2c, bounds)
+        if changed:
+            self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
+                                          self.max_trans, self.max_edges)
+
+    # ------------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self):
+        out_dir = os.path.join(self.base_exp_dir, "checkpoints",
+                               f"{self.iter_step:08d}")
+        os.makedirs(out_dir, exist_ok=True)
+        self.tree_host = dv.sync_host_tree(self.tree_host, self.tree)
+        flat_params = {f"p_{i}": np.asarray(x) for i, x in
+                       enumerate(jax.tree_util.tree_leaves(self.params))}
+        flat_opt = {f"o_{i}": np.asarray(x) for i, x in
+                    enumerate(jax.tree_util.tree_leaves(self.opt_state))}
+        flat_consts = {f"c_{i}": np.asarray(x) for i, x in
+                       enumerate(jax.tree_util.tree_leaves(self.consts))}
+        t = self.tree_host
+        np.savez(
+            os.path.join(out_dir, "state.npz"),
+            iter_step=self.iter_step,
+            ema=np.array([self.ema_sampled, self.ema_meaningful, self.ema_oct]),
+            milestones=np.asarray(t.milestones, np.int64),
+            node_center=t.center, node_side=t.side, node_parent=t.parent,
+            node_childs=t.childs, node_is_leaf=t.is_leaf,
+            node_trans=t.trans_idx, node_wstat=t.weight_stats,
+            node_astat=t.alpha_stats, node_visit=t.visit_cnt,
+            w2xz=t.w2xz, weight=t.weight, t_center=t.t_center, t_dis=t.t_dis,
+            edge_t=t.edge_t, edge_center=t.edge_center,
+            edge_dir0=t.edge_dir0, edge_dir1=t.edge_dir1,
+            side_len=t.side_len,
+            **flat_params, **flat_opt, **flat_consts,
+        )
+        latest = os.path.join(self.base_exp_dir, "checkpoints", "latest")
+        tmp = latest + ".tmp"
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.remove(tmp)
+        os.symlink(out_dir, tmp)
+        os.replace(tmp, latest)
+
+    def load_checkpoint(self, path: str | None = None):
+        path = path or os.path.join(self.base_exp_dir, "checkpoints", "latest")
+        z = np.load(os.path.join(path, "state.npz"))
+        self.iter_step = int(z["iter_step"])
+        self.ema_sampled, self.ema_meaningful, self.ema_oct = map(float, z["ema"])
+        tdef = jax.tree_util.tree_structure(self.params)
+        self.params = jax.tree_util.tree_unflatten(
+            tdef, [jnp.asarray(z[f"p_{i}"]) for i in range(tdef.num_leaves)])
+        odef = jax.tree_util.tree_structure(self.opt_state)
+        self.opt_state = jax.tree_util.tree_unflatten(
+            odef, [jnp.asarray(z[f"o_{i}"]) for i in range(odef.num_leaves)])
+        cdef = jax.tree_util.tree_structure(self.consts)
+        self.consts = jax.tree_util.tree_unflatten(
+            cdef, [jnp.asarray(z[f"c_{i}"]) for i in range(cdef.num_leaves)])
+        self.tree_host = oc.OctreeHost(
+            center=z["node_center"], side=z["node_side"],
+            parent=z["node_parent"], childs=z["node_childs"],
+            is_leaf=z["node_is_leaf"], trans_idx=z["node_trans"],
+            weight_stats=z["node_wstat"], alpha_stats=z["node_astat"],
+            visit_cnt=z["node_visit"], w2xz=z["w2xz"], weight=z["weight"],
+            t_center=z["t_center"], t_dis=z["t_dis"], edge_t=z["edge_t"],
+            edge_center=z["edge_center"], edge_dir0=z["edge_dir0"],
+            edge_dir1=z["edge_dir1"], side_len=float(z["side_len"]),
+            milestones=[int(m) for m in z["milestones"]],
+        )
+        self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
+                                      self.max_trans, self.max_edges)
+
+    # -------------------------------------------------------------- rendering
+
+    def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
+                     chunk: int = 8192):
+        """Chunked no-grad whole-image render. Returns (colors, disparity,
+        first_oct_disp) as numpy [n_rays, ...]."""
+        if not hasattr(self, "_eval_fn"):
+            st = render_statics(self.cfg, chunk, self.dataset.near, train=False,
+                                max_s=1024)
+            self._eval_fn = make_render_fn(st)
+        n = rays_o.shape[0]
+        fineness = jnp.asarray(
+            schedules.ray_march_fineness(self.iter_step, self.cfg["train"]))
+        colors = np.zeros((n, 3), np.float32)
+        disp = np.zeros((n,), np.float32)
+        oct_d = np.full((n,), 1.0, np.float32)
+        for i in range(0, n, chunk):
+            hi = min(i + chunk, n)
+            ro = np.zeros((chunk, 3), np.float32)
+            rd = np.ones((chunk, 3), np.float32)
+            ro[: hi - i] = rays_o[i:hi]
+            rd[: hi - i] = rays_d[i:hi]
+            c, d, f = self._eval_fn(self.params, self.consts, self.tree,
+                                    jnp.asarray(ro), jnp.asarray(rd), fineness)
+            colors[i:hi] = np.asarray(c)[: hi - i]
+            disp[i:hi] = np.asarray(d)[: hi - i]
+            oct_d[i:hi] = np.asarray(f)[: hi - i]
+        return colors, disp, oct_d
