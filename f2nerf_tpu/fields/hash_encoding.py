@@ -11,11 +11,19 @@ TPU-native equivalent of Hash3DAnchored (reference Hash3DAnchored.{h,cpp,cu}):
   * hash = (x*p_a ^ y*p_b ^ z*p_c) mod local_size, trilinear interpolation of
     the 8 corners (Hash3DAnchored.cu:44-79).
 
-Design notes (TPU): the lookup is a plain XLA gather + trilerp; JAX AD
-produces the scatter-add backward into the feature pool — the reference's
-hand-written __half2 atomicAdd kernel (Hash3DAnchored.cu:82-155) with its
-x128 static loss scaling is unnecessary in fp32/bf16. Integer hashing uses
-uint32 wraparound arithmetic (well-defined in XLA).
+TPU performance design (this is the hottest op in the framework):
+  * All index math runs on flat [n] vectors — any [n, 8, 3]-shaped
+    formulation pads the minor dims to 128 lanes and wastes ~40x VPU work.
+  * Corner hashes reuse three per-axis products (hash(x+1) = x*p + p), so a
+    level costs 3 uint32 multiplies per sample, not 24.
+  * Lookups are [n, 2] row gathers from the fp32 pool — measured the fastest
+    XLA random-access path on v5e (row gathers beat packed-u32 element
+    gathers ~1.7x; TPU has no hardware gather, so this op is rate-limited by
+    XLA's gather lowering — a Pallas redesign is tracked for a later round).
+  * custom_vjp: like the reference kernel (Hash3DAnchored.cu:82-155), the
+    backward produces gradients only for the feature pool (warp coords carry
+    no gradient path); residuals are just the query inputs, so no remat or
+    loss scaling is needed.
 """
 
 from __future__ import annotations
@@ -49,8 +57,8 @@ def init_hash_state(key: jax.Array, log2_table_size: int, n_volumes: int,
                     rand_bias: bool = True):
     """Create (feat_pool, prim_pool, bias_pool).
 
-    feat_pool: [pool_size, 2] f32, init U(-1e-4, 0.2e-4 - 1e-4]... matching
-      (rand*0.2 - 1) * 1e-4 i.e. U[-1e-4, -0.8e-4) (Hash3DAnchored.cpp:33).
+    feat_pool: [pool_size, 2] f32, init (rand*0.2 - 1) * 1e-4, i.e.
+      U[-1e-4, -0.8e-4) (Hash3DAnchored.cpp:33).
     prim_pool: [N_LEVELS, n_volumes, 3] uint32 random primes in [2^28, 2^30).
     bias_pool: [N_LEVELS, n_volumes, 3] f32 in [100, 1100).
     """
@@ -67,30 +75,64 @@ def init_hash_state(key: jax.Array, log2_table_size: int, n_volumes: int,
     return feat.astype(jnp.float32), prim, bias
 
 
+def _small_primes(limit: int) -> np.ndarray:
+    sieve = np.ones(limit, bool)
+    sieve[:2] = False
+    for p in range(2, int(limit ** 0.5) + 1):
+        if sieve[p]:
+            sieve[p * p::p] = False
+    return np.nonzero(sieve)[0].astype(np.int64)
+
+
 def _random_primes(seeds: np.ndarray) -> np.ndarray:
-    """Advance each seed to the next prime (host-side, init only)."""
-    def is_prime(x: int) -> bool:
-        if x % 2 == 0:
-            return False
-        i = 3
-        while i * i <= x:
-            if x % i == 0:
-                return False
-            i += 2
-        return True
+    """Advance each seed to the next prime (vectorized; init only).
 
-    out = np.empty_like(seeds)
-    for i, s in enumerate(seeds):
-        v = int(s) | 1
-        while not is_prime(v):
-            v += 2
-        out[i] = v
-    return out
+    Candidates are < 2^30, so trial division by primes <= 2^15 is exact."""
+    primes = _small_primes(1 << 15)[1:]  # odd primes
+    cand = (np.asarray(seeds, np.int64) | 1).copy()
+    for _ in range(200):
+        composite = (cand[:, None] % primes[None, :] == 0).any(axis=1)
+        if not composite.any():
+            break
+        cand[composite] += 2
+    return cand
 
 
-@partial(jax.jit, static_argnames=("log2_table_size",))
-def hash_encode(feat_pool: jnp.ndarray, prim_pool: jnp.ndarray, bias_pool: jnp.ndarray,
-                points01: jnp.ndarray, vol_idx: jnp.ndarray, log2_table_size: int):
+def _corner_indices_weights(prim_pool, bias_pool, points01, vol_idx,
+                            log2_table_size: int):
+    """Yields (level, corner) -> (idx [n] int32, w [n] f32). Python-level
+    generator, traced once per (level, corner)."""
+    lsz = jnp.uint32(local_size(log2_table_size))
+    scales = level_scales()
+    px, py, pz = points01[:, 0], points01[:, 1], points01[:, 2]
+    for lvl in range(N_LEVELS):
+        off = jnp.int32(lvl * local_size(log2_table_size))
+        pa = prim_pool[lvl, vol_idx, 0]
+        pb = prim_pool[lvl, vol_idx, 1]
+        pc = prim_pool[lvl, vol_idx, 2]
+        x = px * scales[lvl] + bias_pool[lvl, vol_idx, 0]
+        y = py * scales[lvl] + bias_pool[lvl, vol_idx, 1]
+        z = pz * scales[lvl] + bias_pool[lvl, vol_idx, 2]
+        fx, fy, fz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+        ax, ay, az = x - fx, y - fy, z - fz
+        hx0 = fx.astype(jnp.int32).astype(jnp.uint32) * pa
+        hy0 = fy.astype(jnp.int32).astype(jnp.uint32) * pb
+        hz0 = fz.astype(jnp.int32).astype(jnp.uint32) * pc
+        hx1, hy1, hz1 = hx0 + pa, hy0 + pb, hz0 + pc
+        for c in range(8):
+            hx = hx1 if (c >> 2) & 1 else hx0
+            hy = hy1 if (c >> 1) & 1 else hy0
+            hz = hz1 if c & 1 else hz0
+            idx = ((hx ^ hy ^ hz) % lsz).astype(jnp.int32) + off
+            w = ((ax if (c >> 2) & 1 else 1.0 - ax)
+                 * (ay if (c >> 1) & 1 else 1.0 - ay)
+                 * (az if c & 1 else 1.0 - az))
+            yield lvl, idx, w
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def hash_encode(feat_pool, prim_pool, bias_pool, points01, vol_idx,
+                log2_table_size: int):
     """Anchored multi-res hash lookup.
 
     points01: [n, 3] warp coords mapped from [-1,1] to [0,1]
@@ -99,31 +141,33 @@ def hash_encode(feat_pool: jnp.ndarray, prim_pool: jnp.ndarray, bias_pool: jnp.n
     Returns [n, N_LEVELS*N_CHANNELS] f32.
     """
     n = points01.shape[0]
-    lsz = jnp.uint32(local_size(log2_table_size))
-    scales = jnp.asarray(level_scales())  # [L]
+    out = [jnp.zeros((n, N_CHANNELS), jnp.float32) for _ in range(N_LEVELS)]
+    for lvl, idx, w in _corner_indices_weights(
+            prim_pool, bias_pool, points01, vol_idx, log2_table_size):
+        # [n, 2] row gather: measured ~1.7x faster than packed-u32 element
+        # gathers on v5e (XLA's small-row gather path)
+        out[lvl] = out[lvl] + feat_pool[idx] * w[:, None]
+    return jnp.concatenate(out, axis=-1)
 
-    pt = points01[:, None, :] * scales[None, :, None]  # [n, L, 3]
-    pt = pt + bias_pool[:, vol_idx, :].transpose(1, 0, 2)  # [n, L, 3]
-    prim = prim_pool[:, vol_idx, :].transpose(1, 0, 2)  # [n, L, 3] uint32
 
-    pos = jnp.floor(pt)
-    frac = pt - pos
-    posi = pos.astype(jnp.int32).astype(jnp.uint32)  # wraps like CUDA uint cast of int
+def _hash_encode_fwd(feat_pool, prim_pool, bias_pool, points01, vol_idx,
+                     log2_table_size):
+    out = hash_encode(feat_pool, prim_pool, bias_pool, points01, vol_idx,
+                      log2_table_size)
+    return out, (feat_pool.shape[0], prim_pool, bias_pool, points01, vol_idx)
 
-    # 8 corners: bit c = (dx, dy, dz)
-    corner = jnp.asarray(
-        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=jnp.uint32)
-    cpos = posi[:, :, None, :] + corner[None, None, :, :]  # [n, L, 8, 3]
-    h = (cpos[..., 0] * prim[:, :, None, 0]) ^ \
-        (cpos[..., 1] * prim[:, :, None, 1]) ^ \
-        (cpos[..., 2] * prim[:, :, None, 2])
-    idx = (h % lsz).astype(jnp.int32)  # [n, L, 8]
-    level_off = (jnp.arange(N_LEVELS, dtype=jnp.int32) * jnp.int32(local_size(log2_table_size)))
-    idx = idx + level_off[None, :, None]
 
-    w = jnp.where(corner[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # [n, L, 8]
+def _hash_encode_bwd(log2_table_size, res, g):
+    """Gradient only for the feature pool (the reference kernel likewise,
+    Hash3DAnchored.cu:82-155). Row scatter-adds keyed by the recomputed
+    corner indices (residuals are just the query inputs)."""
+    pool_size, prim_pool, bias_pool, points01, vol_idx = res
+    acc = jnp.zeros((pool_size, N_CHANNELS), jnp.float32)
+    for lvl, idx, w in _corner_indices_weights(
+            prim_pool, bias_pool, points01, vol_idx, log2_table_size):
+        gv = g[:, 2 * lvl:2 * lvl + 2] * w[:, None]
+        acc = acc.at[idx].add(gv)
+    return acc, None, None, None, None
 
-    feats = feat_pool[idx]  # [n, L, 8, C]
-    out = jnp.sum(feats * w[..., None], axis=2)  # [n, L, C]
-    return out.reshape(n, N_LEVELS * N_CHANNELS)
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)

@@ -76,7 +76,8 @@ def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
 
 def _field_query(params, consts, pts01, vol_idx, statics: RenderStatics):
     """hash encode + field MLP -> [n, 16] scene features
-    (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99)."""
+    (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99). The hash op
+    carries a custom VJP with tiny residuals, so no remat is needed."""
     feat = hash_encode(params["feat_pool"], consts["prim_pool"],
                        consts["bias_pool"], pts01, vol_idx,
                        statics.log2_table_size)

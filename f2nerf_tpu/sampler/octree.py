@@ -63,23 +63,50 @@ class OctreeHost:
         return self.w2xz.shape[0]
 
 
-def _ray_box_hits(center: np.ndarray, side: float,
-                  rays_o: np.ndarray, rays_d: np.ndarray,
-                  bounds: np.ndarray) -> np.ndarray:
-    """Which cameras see box(center, side)? [n_cams] bool.
+def _make_visi_fn(rays_o: np.ndarray, rays_d: np.ndarray, bounds: np.ndarray,
+                  chunk: int):
+    """Batched camera-visibility test on the accelerator.
 
-    Vectorized slab test matching GetVisiCams (PersSampler.cpp:27-66):
-    rays_o [n_cams, 3], rays_d [n_cams, n_pix, 3], bounds [n_cams, 2].
+    The reference runs GetVisiCams (PersSampler.cpp:27-66) per candidate
+    node on GPU; a per-node numpy version is O(node * cams * pix) on host
+    and dominates construction time, so we jit one slab-test + any-reduce
+    over [chunk] nodes x all cams x all proxy pixels (XLA fuses the whole
+    thing into the reduction, so peak memory stays at the output size).
     """
-    hf = side * 0.5
-    with np.errstate(divide="ignore", invalid="ignore"):
-        a = (center - hf - rays_o[:, None, :]) / rays_d
-        b = (center + hf - rays_o[:, None, :]) / rays_d
-    a = np.nan_to_num(a, nan=0.0, posinf=1e6, neginf=-1e6)
-    b = np.nan_to_num(b, nan=0.0, posinf=1e6, neginf=-1e6)
-    far = np.minimum(np.maximum(a, b).min(axis=-1), bounds[:, None, 1])
-    near = np.maximum(np.minimum(a, b).max(axis=-1), bounds[:, None, 0])
-    return (far > near).any(axis=-1)
+    import jax
+    import jax.numpy as jnp
+
+    ro = jnp.asarray(rays_o, jnp.float32)          # [cams, 3]
+    rd = jnp.asarray(rays_d, jnp.float32)          # [cams, pix, 3]
+    bd = jnp.asarray(bounds, jnp.float32)          # [cams, 2]
+
+    @jax.jit
+    def visi(centers, sides):                       # [chunk, 3], [chunk]
+        hf = sides[:, None, None, None] * 0.5
+        c = centers[:, None, None, :]
+        o = ro[None, :, None, :]
+        d = rd[None]
+        a = (c - hf - o) / d
+        b = (c + hf - o) / d
+        a = jnp.nan_to_num(a, nan=0.0, posinf=1e6, neginf=-1e6)
+        b = jnp.nan_to_num(b, nan=0.0, posinf=1e6, neginf=-1e6)
+        far = jnp.minimum(jnp.maximum(a, b).min(axis=-1), bd[None, :, None, 1])
+        near = jnp.maximum(jnp.minimum(a, b).max(axis=-1), bd[None, :, None, 0])
+        return (far > near).any(axis=-1)            # [chunk, cams]
+
+    def run(centers: np.ndarray, sides: np.ndarray) -> np.ndarray:
+        n = centers.shape[0]
+        out = np.zeros((n, rays_o.shape[0]), bool)
+        for i in range(0, n, chunk):
+            cpad = np.zeros((chunk, 3), np.float32)
+            spad = np.full((chunk,), 1e-3, np.float32)
+            m = min(chunk, n - i)
+            cpad[:m] = centers[i:i + m]
+            spad[:m] = sides[i:i + m]
+            out[i:i + m] = np.asarray(visi(jnp.asarray(cpad), jnp.asarray(spad)))[:m]
+        return out
+
+    return run
 
 
 def _proxy_rays(c2w: np.ndarray, intri: np.ndarray):
@@ -113,53 +140,58 @@ def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
     split_thres = float(cfg["split_dist_thres"])
 
     rays_o, rays_d = _proxy_rays(c2w, intri)
+    visi_fn = _make_visi_fn(rays_o, rays_d, bounds, chunk=64)
     cam_pos = c2w[:, :3, 3].astype(np.float64)
 
     nodes = {k: [] for k in ("center", "side", "parent", "childs", "is_leaf", "trans_idx")}
     trans_list = []
 
-    def new_node(parent):
-        for k in nodes:
-            nodes[k].append(None)
-        u = len(nodes["center"]) - 1
-        nodes["parent"][u] = parent
-        return u
+    def new_node(parent, center, side):
+        nodes["center"].append(np.asarray(center, np.float64))
+        nodes["side"].append(side)
+        nodes["parent"].append(parent)
+        nodes["childs"].append([-1] * 8)
+        nodes["is_leaf"].append(False)
+        nodes["trans_idx"].append(-1)
+        return len(nodes["center"]) - 1
 
-    import sys
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(100000)
-
-    def construct(u, depth, center, side):
-        nodes["center"][u] = np.asarray(center, np.float64)
-        nodes["side"][u] = side
-        nodes["is_leaf"][u] = False
-        nodes["trans_idx"][u] = -1
-        nodes["childs"][u] = [-1] * 8
-        if depth > max_depth:
-            nodes["is_leaf"][u] = True
-            return
-        visi = np.nonzero(_ray_box_hits(center, side, rays_o, rays_d, bounds))[0]
-        dis = np.linalg.norm(cam_pos[visi] - center, axis=-1)
-        d_sum = distance_summary(dis)
-        if len(visi) >= N_PROS // 2 and d_sum < side * split_thres:
-            for st in range(8):
-                off = np.array([(st >> 2) & 1, (st >> 1) & 1, st & 1]) - 0.5
-                v = new_node(u)
-                nodes["childs"][u][st] = v
-                construct(v, depth + 1, center + side * 0.5 * off, side * 0.5)
-        elif len(visi) < N_PROS // 2:
-            nodes["is_leaf"][u] = True
-        else:
-            nodes["is_leaf"][u] = True
-            nodes["trans_idx"][u] = len(trans_list)
-            n_rand = 32 * 32 * 32
-            rand_pts = (rng.random((n_rand, 3)) - 0.5) * side + center
-            trans_list.append(construct_trans(
-                rand_pts, c2w[visi], intri[0], center, rng))
-
-    root = new_node(-1)
-    construct(root, 0, np.zeros(3), side_len)
-    sys.setrecursionlimit(old_limit)
+    # BFS level-by-level so the camera-visibility tests batch onto the
+    # accelerator (the reference recurses with one GPU test per node)
+    root = new_node(-1, np.zeros(3), side_len)
+    frontier = [(root, 0)]
+    while frontier:
+        testable = [(u, d) for (u, d) in frontier if d <= max_depth]
+        for u, d in frontier:
+            if d > max_depth:
+                nodes["is_leaf"][u] = True
+        if not testable:
+            break
+        centers = np.stack([nodes["center"][u] for u, _ in testable])
+        sides = np.asarray([nodes["side"][u] for u, _ in testable], np.float32)
+        hits = visi_fn(centers.astype(np.float32), sides)
+        next_frontier = []
+        for (u, depth), hit in zip(testable, hits):
+            center = nodes["center"][u]
+            side = nodes["side"][u]
+            visi = np.nonzero(hit)[0]
+            dis = np.linalg.norm(cam_pos[visi] - center, axis=-1)
+            d_sum = distance_summary(dis)
+            if len(visi) >= N_PROS // 2 and d_sum < side * split_thres:
+                for st in range(8):
+                    off = np.array([(st >> 2) & 1, (st >> 1) & 1, st & 1]) - 0.5
+                    v = new_node(u, center + side * 0.5 * off, side * 0.5)
+                    nodes["childs"][u][st] = v
+                    next_frontier.append((v, depth + 1))
+            elif len(visi) < N_PROS // 2:
+                nodes["is_leaf"][u] = True
+            else:
+                nodes["is_leaf"][u] = True
+                nodes["trans_idx"][u] = len(trans_list)
+                n_rand = 32 * 32 * 32
+                rand_pts = (rng.random((n_rand, 3)) - 0.5) * side + center
+                trans_list.append(construct_trans(
+                    rand_pts, c2w[visi], intri[0], center, rng))
+        frontier = next_frontier
 
     n = len(nodes["center"])
     tree = OctreeHost(

@@ -97,15 +97,25 @@ def make_optimizer():
     )
 
 
+def pow2ceil(x: float) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def render_statics(cfg: dict, n_rays: int, global_near: float,
-                   train: bool, max_s: int | None = None) -> RenderStatics:
+                   train: bool, max_s: int | None = None,
+                   cap1: int | None = None, cap2: int | None = None) -> RenderStatics:
     t, p, r, f, s = (cfg["train"], cfg["pts_sampler"], cfg["renderer"],
                      cfg["field"], cfg["shader"])
     pts_batch = int(t["pts_batch_size"])
     if max_s is None:
         max_s = max_s_for(n_rays, pts_batch)
-    cap1 = min(n_rays * max_s, 2 * pts_batch)
-    cap2 = min(cap1, pts_batch)
+    if cap1 is None:
+        cap1 = min(n_rays * max_s, 2 * pts_batch)
+    if cap2 is None:
+        cap2 = min(cap1, pts_batch)
     return RenderStatics(
         max_hits=min(int(p["max_oct_intersect_per_ray"]), 64),
         max_s=max_s,
@@ -243,23 +253,61 @@ class Trainer:
         self.ema_oct = 16.0
         self.psnr_smooth = -1.0
         self.mse_records: list[float] = []
-        self._step_cache: dict[int, object] = {}
+        self._step_cache: dict[tuple, object] = {}
+        self._pending: list[tuple] = []
+        self.pipeline_depth = 3
 
     # ------------------------------------------------------------------ steps
 
+    def _caps(self, n_rays: int, max_s: int):
+        """EMA-driven flat-buffer capacities: the reference allocates exact
+        ragged sizes per step (PersSampler.cu:353-405); with static shapes we
+        bucket to the next power of two over the running sample counts, so
+        padding waste stays < ~2x while jit caches stay warm."""
+        cap1 = pow2ceil(1.5 * self.ema_sampled * n_rays)
+        cap1 = int(np.clip(cap1, 16384, min(n_rays * max_s, 2 * self.pts_batch)))
+        cap2 = pow2ceil(1.4 * self.ema_meaningful * n_rays)
+        cap2 = int(np.clip(cap2, 16384, min(cap1, self.pts_batch)))
+        return cap1, cap2
+
     def _get_step(self, n_rays: int):
-        if n_rays not in self._step_cache:
-            st = render_statics(self.cfg, n_rays, self.dataset.near, train=True)
-            self._step_cache[n_rays] = (
+        max_s = max_s_for(n_rays, self.pts_batch)
+        cap1, cap2 = self._caps(n_rays, max_s)
+        key = (n_rays, cap1, cap2)
+        if key not in self._step_cache:
+            st = render_statics(self.cfg, n_rays, self.dataset.near,
+                                train=True, max_s=max_s, cap1=cap1, cap2=cap2)
+            self._step_cache[key] = (
                 make_train_step(self.cfg, st, self.dataset.height,
                                 self.dataset.width), st)
-        return self._step_cache[n_rays]
+        return self._step_cache[key]
 
     def cur_batch_size(self) -> int:
         want = self.pts_batch / max(self.ema_meaningful, 1.0)
         return pick_bucket(want)
 
-    def train_one(self):
+    def _ingest_aux(self, n_rays: int, aux):
+        """Fold one step's (device-side) aux into host EMAs/records."""
+        stats = aux["stats"]
+        self.ema_sampled = 0.9 * self.ema_sampled + \
+            0.1 * float(stats["n_sampled"]) / n_rays
+        self.ema_meaningful = 0.9 * self.ema_meaningful + \
+            0.1 * float(stats["n_meaningful"]) / n_rays
+        self.ema_oct = 0.9 * self.ema_oct + 0.1 * float(stats["n_oct_hits"]) / n_rays
+        mse = float(aux["mse"])
+        self.mse_records.append(mse)
+        psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
+        self.psnr_smooth = psnr if self.psnr_smooth < 0 else \
+            0.1 * psnr + 0.9 * self.psnr_smooth
+        return dict(n_rays=n_rays, psnr=psnr,
+                    **{k: float(v) for k, v in aux.items() if k != "stats"},
+                    **{k: float(v) for k, v in stats.items()})
+
+    def train_one(self, sync: bool = True):
+        """One training iteration. With sync=False the aux fetch is deferred
+        (dispatch pipelining hides the host<->device round trip; EMAs then
+        lag by up to `pipeline_depth` steps, which only affects the
+        batch-size controller, not training math)."""
         tcfg = self.cfg["train"]
         n_rays = self.cur_batch_size()
         step_fn, st = self._get_step(n_rays)
@@ -276,23 +324,13 @@ class Trainer:
             self.params, self.opt_state, self.tree, self.consts, self.data,
             k, runtime, n_rays)
 
-        stats = aux["stats"]
-        self.ema_sampled = 0.9 * self.ema_sampled + \
-            0.1 * float(stats["n_sampled"]) / n_rays
-        self.ema_meaningful = 0.9 * self.ema_meaningful + \
-            0.1 * float(stats["n_meaningful"]) / n_rays
-        self.ema_oct = 0.9 * self.ema_oct + 0.1 * float(stats["n_oct_hits"]) / n_rays
-        mse = float(aux["mse"])
-        self.mse_records.append(mse)
-        psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
-        self.psnr_smooth = psnr if self.psnr_smooth < 0 else \
-            0.1 * psnr + 0.9 * self.psnr_smooth
-
         self.iter_step += 1
+        self._pending.append((n_rays, aux))
+        out = None
+        while self._pending and (sync or len(self._pending) > self.pipeline_depth):
+            out = self._ingest_aux(*self._pending.pop(0))
         self.maybe_maintain_tree()
-        return dict(n_rays=n_rays, psnr=psnr, **{k: float(v) for k, v in aux.items()
-                                                 if k not in ("stats",)},
-                    **{k: float(v) for k, v in stats.items()})
+        return out
 
     def maybe_maintain_tree(self):
         t = self.tree_host
