@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
+
+Workload: ngp_fox (the reference's in-repo example scene) under the
+wanjinyou config — the reference's headline benchmark (BASELINE.md). Falls
+back to the synthetic ball scene if the dataset is unavailable.
+
+Baseline constant: the reference paper reports ~12 min for 20k iterations on
+one RTX 2080Ti (~27.8 it/s); at its steady-state adaptive batch of ~13k rays
+(262144 target points / ~20 meaningful samples per ray, ExpRunner.cpp:86)
+that is ~3.6e5 rays/sec. The repo itself publishes no numbers (SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_SEC = 3.6e5
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def find_dataset():
+    for cand in (
+        os.path.join(_REPO, "data", "example", "ngp_fox"),
+        "/root/reference/data/example/ngp_fox",
+    ):
+        if os.path.exists(os.path.join(cand, "cams_meta.npy")):
+            return cand, None
+    from f2nerf_tpu.utils.synthetic import write_ball_dataset, TINY_OVERRIDES
+    return write_ball_dataset(tempfile.mkdtemp(prefix="f2bench_")), TINY_OVERRIDES
+
+
+def main():
+    import jax
+    import numpy as np
+    from f2nerf_tpu.utils.config import compose
+    from f2nerf_tpu.train.trainer import Trainer
+
+    data_path, extra = find_dataset()
+    cfg = compose(os.path.join(_REPO, "confs"), "wanjinyou", extra or [])
+    tr = Trainer(cfg, tempfile.mkdtemp(prefix="f2bench_exp_"), data_path,
+                 seed=2022)
+
+    # settle the adaptive controller (also compiles the active bucket)
+    settle = 12
+    for i in range(settle):
+        tr.train_one(sync=(i % 4 == 3))
+    # pin the bucket so the timed window has no recompiles
+    ema_m, ema_s = tr.ema_meaningful, tr.ema_sampled
+    orig = tr._ingest_aux
+
+    def pin(n_rays, aux):
+        out = orig(n_rays, aux)
+        tr.ema_meaningful, tr.ema_sampled = ema_m, ema_s
+        return out
+
+    tr._ingest_aux = pin
+    m = tr.train_one()
+    n_rays = m["n_rays"]
+
+    t0 = time.time()
+    K = 40
+    rays = 0
+    for i in range(K):
+        tr.train_one(sync=False)
+        rays += n_rays
+    m = tr.train_one()
+    rays += n_rays
+    dt = time.time() - t0
+    rays_per_sec = rays / dt
+
+    print(json.dumps({
+        "metric": "ngp_fox wanjinyou training throughput (TPU v5e-1)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,17 +101,29 @@ class Dataset:
 
     # ------------------------------------------------------------- device side
 
-    def device_arrays(self) -> dict:
-        """Arrays consumed by the jitted train/render steps."""
+    def device_arrays(self, n_shards: int = 1) -> dict:
+        """Arrays consumed by the jitted train/render steps.
+
+        Camera metadata is tiny and replicated; the (large) training-image
+        pool is laid out as [n_train (padded to n_shards), H, W, 3] uint8 so
+        a data-parallel mesh shards it along cameras — each device keeps
+        1/n_shards of the pixels and samples rays only from its own cameras
+        (padding repeats leading cameras; with shards << cameras the
+        duplicate-sampling bias is negligible).
+        """
         out = dict(
             poses=jnp.asarray(self.poses),
             intri=jnp.asarray(self.intri),
             dist=jnp.asarray(self.dist),
             bounds=jnp.asarray(self.bounds),
-            train_set=jnp.asarray(self.train_set),
         )
+        ids = self.train_set
+        if n_shards > 1 and len(ids) % n_shards:
+            pad = n_shards - len(ids) % n_shards
+            ids = np.concatenate([ids, ids[:pad]])
+        out["train_ids"] = jnp.asarray(ids.astype(np.int32))
         if self.images is not None:
-            out["images"] = jnp.asarray(self.images)
+            out["train_images"] = jnp.asarray(self.images[ids])
         return out
 
     @property
@@ -125,15 +137,17 @@ class Dataset:
 def sample_rays(data: dict, key: jax.Array, n_rays: int, height: int, width: int):
     """Random train rays (RandRaysData, Dataset.cpp:275-298): random
     (train image, pixel) pairs -> (rays_o, rays_d, bounds, gt, img_idx).
-    Runs inside jit."""
+    Runs inside jit; under shard_map, `train_images`/`train_ids` are the
+    local camera shard and img_idx stays a global image id (the appearance
+    embedding index)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    n_train = data["train_set"].shape[0]
+    n_train = data["train_ids"].shape[0]
     cam_pick = jax.random.randint(k1, (n_rays,), 0, n_train)
-    img_idx = data["train_set"][cam_pick]
+    img_idx = data["train_ids"][cam_pick]
     i = jax.random.randint(k2, (n_rays,), 0, height).astype(jnp.float32) + 0.5
     j = jax.random.randint(k3, (n_rays,), 0, width).astype(jnp.float32) + 0.5
-    gt = data["images"][img_idx, (i - 0.5).astype(jnp.int32),
-                        (j - 0.5).astype(jnp.int32)].astype(jnp.float32) / 255.0
+    gt = data["train_images"][cam_pick, (i - 0.5).astype(jnp.int32),
+                              (j - 0.5).astype(jnp.int32)].astype(jnp.float32) / 255.0
     rays_o, rays_d = camera.pixel_to_ray(
         data["poses"][img_idx], data["intri"][img_idx], data["dist"][img_idx], i, j)
     bounds = data["bounds"][img_idx]

@@ -98,7 +98,9 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
            rays_o: jnp.ndarray, rays_d: jnp.ndarray, emb_idx: jnp.ndarray,
            key: jax.Array, fineness: jnp.ndarray, grad_progress: jnp.ndarray,
            statics: RenderStatics):
-    """Render a fixed-size ray batch. Returns (result dict, new tree).
+    """Render a fixed-size ray batch. Returns (result dict, occupancy-vote
+    dict or None). The caller folds the votes into the tree with
+    ``apply_occupancy_adders`` (data-parallel shards pmax them first).
 
     params: feat_pool, field_mlp, shader_mlp, app_emb (trainable pytree).
     consts: prim_pool, bias_pool (fixed buffers).
@@ -156,9 +158,9 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
     weights_a = trans_vis_a * alpha_a
     keep = ok_a & (trans_vis_a > 1e-4)
 
-    new_tree = tree
+    occ = None
     if st.train:
-        new_tree = dv.update_occupancy(
+        occ = dv.compute_occupancy_adders(
             tree, jnp.where(ok_a, a["node"], -1), rid_a,
             jax.lax.stop_gradient(weights_a), jax.lax.stop_gradient(alpha_a), R)
 
@@ -243,4 +245,4 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
             overflow_b=jnp.sum(keep.astype(jnp.float32)) - jnp.sum(ok_b.astype(jnp.float32)),
         ),
     )
-    return result, new_tree
+    return result, occ

@@ -391,14 +391,18 @@ def sample_edges(tree: DeviceTree, key: jax.Array, n_pts: int):
 
 # ---------------------------------------------------------- occupancy update
 
-def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,
-                     ray_id: jnp.ndarray, weights: jnp.ndarray,
-                     alphas: jnp.ndarray, n_rays: int) -> DeviceTree:
-    """Functional occupancy-stat update (MarkVistNodeKernel + host formulas,
-    PersSampler.cu:475-615 and UpdateOctNodes).
+def compute_occupancy_adders(tree: DeviceTree, node_idx: jnp.ndarray,
+                             ray_id: jnp.ndarray, weights: jnp.ndarray,
+                             alphas: jnp.ndarray, n_rays: int) -> dict:
+    """Per-batch occupancy vote tensors (MarkVistNodeKernel,
+    PersSampler.cu:475-534).
 
     node_idx/ray_id: [cap] flat sample buffer (padding: ray_id == n_rays,
     node_idx == -1). weights/alphas: pre-filter per-sample values.
+
+    Returns max-combinable [n_nodes] arrays (adder_w, adder_a, mark,
+    visit_max) — data-parallel shards combine them with lax.pmax before
+    ``apply_occupancy_adders`` (the reference's atomicMax semantics).
     """
     from ..ops.segment import segment_max
 
@@ -432,10 +436,19 @@ def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,
     run_len = jax.ops.segment_sum(valid.astype(jnp.int32), run_id,
                                   num_segments=cap, indices_are_sorted=True)
     per_sample_len = run_len[run_id]
-    visit_cnt = jnp.concatenate([tree.visit_cnt, jnp.zeros((1,), jnp.int32)])
-    visit_cnt = visit_cnt.at[jnp.where(valid & run_first, nid, n_nodes)].max(per_sample_len)
+    visit_max = jnp.zeros((n_nodes + 1,), jnp.int32)
+    visit_max = visit_max.at[jnp.where(valid & run_first, nid, n_nodes)].max(per_sample_len)
 
-    adder_w, adder_a, mark = adder_w[:-1], adder_a[:-1], mark[:-1]
+    return dict(adder_w=adder_w[:-1], adder_a=adder_a[:-1], mark=mark[:-1],
+                visit_max=visit_max[:-1])
+
+
+def apply_occupancy_adders(tree: DeviceTree, occ: dict) -> DeviceTree:
+    """Fold vote tensors into the hysteresis counters and cull dead nodes
+    (UpdateOctNodes host formulas + MarkInvalidNodes,
+    PersSampler.cu:536-615)."""
+    adder_w, adder_a = occ["adder_w"], occ["adder_a"]
+    mark = occ["mark"]
     occ_w = (adder_w > 0).astype(jnp.int32)
     wstats = jnp.maximum(tree.weight_stats, occ_w * adder_w)
     wstats = wstats + mark * (1 - occ_w) * adder_w
@@ -446,6 +459,15 @@ def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,
     astats = jnp.clip(astats, -100, 1 << 20)
 
     trans_idx = jnp.where((wstats < 0) | (astats < 0), -1, tree.trans_idx)
+    visit_cnt = jnp.maximum(tree.visit_cnt, occ["visit_max"])
 
     return tree._replace(weight_stats=wstats, alpha_stats=astats,
-                         visit_cnt=visit_cnt[:-1], trans_idx=trans_idx)
+                         visit_cnt=visit_cnt, trans_idx=trans_idx)
+
+
+def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,
+                     ray_id: jnp.ndarray, weights: jnp.ndarray,
+                     alphas: jnp.ndarray, n_rays: int) -> DeviceTree:
+    """Single-shard convenience: compute + apply in one go."""
+    occ = compute_occupancy_adders(tree, node_idx, ray_id, weights, alphas, n_rays)
+    return apply_occupancy_adders(tree, occ)

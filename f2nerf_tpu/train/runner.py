@@ -1,0 +1,173 @@
+"""Experiment runner: mode dispatch, eval rendering, artifact output.
+
+Equivalent of the reference ExpRunner (src/ExpRunner.{h,cpp}):
+  * Execute() dispatches on mode in {train, test, render_path, render_all}
+    (ExpRunner.cpp:393-407);
+  * Train(): the loop with report/vis/stats/save cadences, stats.npy MSE
+    history, train_info.txt wall time, final TestImages()
+    (ExpRunner.cpp:65-186);
+  * TestImages(): whole-image renders of the test split, uint8-quantized
+    PSNR, color/depth/oct_depth PNGs and test_images/info.yaml
+    (ExpRunner.cpp:343-391);
+  * RenderPath(): novel_images/ renders along poses_render.npy
+    (ExpRunner.cpp:322-341);
+  * VisualizeImage(): 4-panel GT | pred | oct-depth | disparity PNGs
+    (ExpRunner.cpp:301-320).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import yaml
+
+from ..data import dataset as ds
+from ..utils import io
+from .trainer import Trainer
+
+
+class Runner:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.base_exp_dir = cfg["base_exp_dir"]
+        data_path = cfg["dataset"]["data_path"]
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+
+        self.trainer = Trainer(cfg, self.base_exp_dir, data_path)
+        io.export_pcd(os.path.join(self.base_exp_dir, "cam_pos.ply"),
+                      self.trainer.dataset.poses[:, :3, 3])
+        io.export_octree_obj(os.path.join(self.base_exp_dir, "octree.obj"),
+                             self.trainer.tree_host)
+
+        if cfg.get("is_continue"):
+            self.trainer.load_checkpoint()
+
+        t = cfg["train"]
+        self.end_iter = int(t["end_iter"])
+        self.report_freq = int(t["report_freq"])
+        self.vis_freq = int(t["vis_freq"])
+        self.stats_freq = int(t["stats_freq"])
+        self.save_freq = int(t["save_freq"])
+
+    # ------------------------------------------------------------------ modes
+
+    def execute(self):
+        mode = self.cfg["mode"]
+        if mode == "train":
+            self.train()
+        elif mode == "test":
+            self.test_images()
+        elif mode == "render_path":
+            self.render_path()
+        elif mode == "render_all":
+            self.render_all_images()
+        else:
+            raise ValueError(f"Unknown mode {mode!r}")
+
+    def train(self):
+        tr = self.trainer
+        t_start = time.time()
+        t_report = time.time()
+        while tr.iter_step < self.end_iter:
+            sync = (tr.iter_step + 1) % self.report_freq == 0
+            m = tr.train_one(sync=sync)
+            step = tr.iter_step
+            if step % self.stats_freq == 0:
+                np.save(os.path.join(self.base_exp_dir, "stats.npy"),
+                        np.asarray(tr.mse_records, np.float32))
+            if step % self.vis_freq == 0 and len(tr.dataset.test_set):
+                vis_idx = int(tr.dataset.test_set[
+                    (step // self.vis_freq) % len(tr.dataset.test_set)])
+                self.visualize_image(vis_idx)
+            if step % self.save_freq == 0:
+                tr.save_checkpoint()
+            if m and step % self.report_freq == 0:
+                ips = self.report_freq / max(time.time() - t_report, 1e-6)
+                t_report = time.time()
+                print(f"Iter: {step:>6d} PSNR: {tr.psnr_smooth:.2f} "
+                      f"NRays: {m['n_rays']:>5d} OctSamples: {tr.ema_oct:.1f} "
+                      f"Samples: {tr.ema_sampled:.1f} "
+                      f"MeaningfulSamples: {tr.ema_meaningful:.1f} "
+                      f"IPS: {ips:.2f}", flush=True)
+        with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
+            f.write(f"{time.time() - t_start}\n")
+        print("Train done, test.", flush=True)
+        self.test_images()
+
+    # ------------------------------------------------------------- rendering
+
+    def _render_camera(self, idx: int):
+        tr = self.trainer
+        ro, rd = ds.camera_rays(tr.data, idx, tr.dataset.height, tr.dataset.width)
+        return tr.render_image(np.asarray(ro), np.asarray(rd))
+
+    def _finalize_disp(self, colors, disp, oct_d, h, w):
+        disp = disp / max(float(disp.max()), 1e-9)
+        oct_d = float(oct_d.min()) / np.maximum(oct_d, 1e-9)
+        return (colors.reshape(h, w, 3), disp.reshape(h, w, 1),
+                oct_d.reshape(h, w, 1))
+
+    def visualize_image(self, idx: int):
+        tr = self.trainer
+        h, w = tr.dataset.height, tr.dataset.width
+        colors, disp, oct_d = self._render_camera(idx)
+        colors, disp, oct_d = self._finalize_disp(colors, disp, oct_d, h, w)
+        gt = tr.dataset.images[idx].astype(np.float32) / 255.0
+        panel = np.concatenate(
+            [gt, colors, np.repeat(oct_d, 3, -1), np.repeat(disp, 3, -1)], axis=1)
+        io.write_image(os.path.join(self.base_exp_dir, "images",
+                                    f"{tr.iter_step}_{idx}.png"), panel)
+
+    def test_images(self):
+        tr = self.trainer
+        h, w = tr.dataset.height, tr.dataset.width
+        out_dir = os.path.join(self.base_exp_dir, "test_images")
+        os.makedirs(out_dir, exist_ok=True)
+        info = {}
+        psnrs = []
+        for idx in map(int, tr.dataset.test_set):
+            colors, disp, oct_d = self._render_camera(idx)
+            colors, disp, oct_d = self._finalize_disp(colors, disp, oct_d, h, w)
+            # quantize before PSNR (ExpRunner.cpp:349-369)
+            pred = np.round(np.clip(colors, 0, 1) * 255.0) / 255.0
+            gt = tr.dataset.images[idx].astype(np.float32) / 255.0
+            mse = float(((pred - gt) ** 2).mean())
+            psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
+            info[str(idx)] = float(psnr)
+            psnrs.append(psnr)
+            print(f"{idx}: {psnr}", flush=True)
+            step = tr.iter_step
+            io.write_image(os.path.join(out_dir, f"color_{step}_{idx:03d}.png"), pred)
+            io.write_image(os.path.join(out_dir, f"depth_{step}_{idx:03d}.png"),
+                           np.repeat(disp, 3, -1))
+            io.write_image(os.path.join(out_dir, f"oct_depth_{step}_{idx:03d}.png"),
+                           np.repeat(oct_d, 3, -1))
+        info["mean_psnr"] = float(np.mean(psnrs)) if psnrs else 0.0
+        print(f"Mean psnr: {info['mean_psnr']}", flush=True)
+        with open(os.path.join(out_dir, "info.yaml"), "w") as f:
+            yaml.safe_dump(info, f)
+        return info
+
+    def render_path(self, reso_level: int = 1):
+        tr = self.trainer
+        poses = tr.dataset.render_poses
+        assert poses is not None, "poses_render.npy not found in dataset"
+        h = tr.dataset.height // reso_level
+        w = tr.dataset.width // reso_level
+        import jax.numpy as jnp
+        for i in range(poses.shape[0]):
+            ro, rd = ds.pose_rays(tr.data, jnp.asarray(poses[i]),
+                                  tr.dataset.height, tr.dataset.width, reso_level)
+            colors, disp, oct_d = tr.render_image(np.asarray(ro), np.asarray(rd))
+            colors, disp, oct_d = self._finalize_disp(colors, disp, oct_d, h, w)
+            panel = np.concatenate(
+                [colors, np.repeat(oct_d, 3, -1), np.repeat(disp, 3, -1)], axis=1)
+            io.write_image(os.path.join(self.base_exp_dir, "novel_images",
+                                        f"{tr.iter_step}_{i:03d}.png"), panel)
+            print(i, flush=True)
+
+    def render_all_images(self):
+        for idx in range(self.trainer.dataset.n_images):
+            self.visualize_image(idx)

@@ -167,14 +167,15 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
             data, k_rays, n_rays, height, width)
 
         def loss_fn(p):
-            result, new_tree = render(
+            result, occ = render(
                 p, consts, tree, rays_o, rays_d, img_idx, k_render,
                 runtime["fineness"], runtime["grad_progress"], statics)
             loss, aux = compute_losses(result, gt, n_rays, loss_w, runtime)
             aux["stats"] = result["stats"]
-            return loss, (aux, new_tree)
+            return loss, (aux, occ)
 
-        grads, (aux, new_tree) = jax.grad(loss_fn, has_aux=True)(params)
+        grads, (aux, occ) = jax.grad(loss_fn, has_aux=True)(params)
+        new_tree = dv.apply_occupancy_adders(tree, occ)
 
         finite = jnp.all(jnp.asarray(
             [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
