@@ -1,0 +1,62 @@
+"""CLI + Runner smoke test: scripts/run.py end-to-end on the synthetic
+scene (train a few iters -> test images -> render_path)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from f2nerf_tpu.utils.synthetic import write_ball_dataset
+    base = tmp_path_factory.mktemp("work")
+    data_dir = base / "data" / "synth" / "ball"
+    data_dir.mkdir(parents=True)
+    write_ball_dataset(str(data_dir))
+    # novel-view path: just reuse two train poses interpolated
+    cams = np.load(data_dir / "cams_meta.npy")
+    poses = cams[:, :12].reshape(-1, 3, 4)
+    np.save(data_dir / "poses_render.npy",
+            np.ascontiguousarray(poses[:3].astype(np.float64)))
+    return str(base)
+
+
+OVERRIDES = [
+    "dataset_name=synth", "case_name=ball", "exp_name=cli_test",
+    "dataset.factor=1",  # synthetic scene ships full-res images/ only
+    "train.pts_batch_size=4096", "train.end_iter=4",
+    "train.report_freq=2", "train.vis_freq=1000", "train.save_freq=4",
+    "pts_sampler.bbox_levels=6", "pts_sampler.max_level=3",
+    "pts_sampler.sample_l=0.03125", "train.ray_march_init_fineness=2",
+    "field.log2_table_size=10",
+    "+capacity.max_nodes=8192", "+capacity.max_trans=512",
+    "+capacity.max_edges=16384",
+]
+
+
+def test_run_cli_train(workdir):
+    import run as run_cli
+    run_cli.main(["--config-name=wanjinyou", f"+work_dir={workdir}",
+                  "mode=train"] + OVERRIDES)
+    exp = os.path.join(workdir, "exp", "ball", "cli_test")
+    assert os.path.exists(os.path.join(exp, "train_info.txt"))
+    assert os.path.exists(os.path.join(exp, "test_images", "info.yaml"))
+    assert os.path.exists(os.path.join(exp, "checkpoints", "latest", "state.npz"))
+    assert os.path.exists(os.path.join(exp, "octree.obj"))
+    assert os.path.exists(os.path.join(exp, "cam_pos.ply"))
+    import yaml
+    info = yaml.safe_load(open(os.path.join(exp, "test_images", "info.yaml")))
+    assert "mean_psnr" in info and np.isfinite(info["mean_psnr"])
+
+
+def test_run_cli_render_path(workdir):
+    import run as run_cli
+    run_cli.main(["--config-name=wanjinyou", f"+work_dir={workdir}",
+                  "mode=render_path", "is_continue=true"] + OVERRIDES)
+    exp = os.path.join(workdir, "exp", "ball", "cli_test")
+    novel = os.listdir(os.path.join(exp, "novel_images"))
+    assert len(novel) == 3
