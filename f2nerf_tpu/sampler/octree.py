@@ -20,6 +20,7 @@ Occupancy counters follow PersSampler.cu:11-17:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -270,7 +271,22 @@ def construct_edge_pool(tree: OctreeHost) -> None:
 def proc_octree(tree: OctreeHost, compact: bool, subdivide: bool,
                 brute_force: bool) -> OctreeHost:
     """Compact dead leaves, path-compress single-child chains, optionally
-    subdivide visited leaves 8-ways (ProcOctree, PersSampler.cpp:120-330)."""
+    subdivide visited leaves 8-ways (ProcOctree, PersSampler.cpp:120-330).
+
+    Dispatches to the native C++ engine when available (set F2_NATIVE=0 to
+    force this numpy reference implementation)."""
+    if os.environ.get("F2_NATIVE", "1") != "0":
+        from .. import native
+        if native.available():
+            out = native.proc_octree(tree, compact, subdivide, brute_force)
+            if out is not None:
+                return out
+    return _proc_octree_np(tree, compact, subdivide, brute_force)
+
+
+def _proc_octree_np(tree: OctreeHost, compact: bool, subdivide: bool,
+                    brute_force: bool) -> OctreeHost:
+    """Numpy reference implementation of proc_octree."""
     n = tree.n_nodes
     parent = tree.parent.copy()
     childs = tree.childs.copy()
