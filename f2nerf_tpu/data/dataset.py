@@ -154,6 +154,57 @@ def sample_rays(data: dict, key: jax.Array, n_rays: int, height: int, width: int
     return rays_o, rays_d, bounds, gt, img_idx.astype(jnp.int32)
 
 
+def sample_rays_single_image(data: dict, key: jax.Array, n_rays: int,
+                             height: int, width: int):
+    """ray_sample_mode=single_image (RandRaysDataOfCamera,
+    Dataset.cpp:251-267): all rays of a batch come from one random train
+    camera. Runs inside jit."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    n_train = data["train_ids"].shape[0]
+    pick = jax.random.randint(k0, (), 0, n_train)
+    cam_pick = jnp.full((n_rays,), pick)
+    img_idx = data["train_ids"][cam_pick]
+    i = jax.random.randint(k2, (n_rays,), 0, height).astype(jnp.float32) + 0.5
+    j = jax.random.randint(k3, (n_rays,), 0, width).astype(jnp.float32) + 0.5
+    gt = data["train_images"][cam_pick, (i - 0.5).astype(jnp.int32),
+                              (j - 0.5).astype(jnp.int32)].astype(jnp.float32) / 255.0
+    rays_o, rays_d = camera.pixel_to_ray(
+        data["poses"][img_idx], data["intri"][img_idx], data["dist"][img_idx], i, j)
+    bounds = data["bounds"][img_idx]
+    return rays_o, rays_d, bounds, gt, img_idx.astype(jnp.int32)
+
+
+def rays_interpolate(data: dict, idx_0: int, idx_1: int, alpha: float,
+                     height: int, width: int, reso_level: int = 1):
+    """Full-image rays from a pose slerped between two cameras
+    (RaysInterpolate, Dataset.cpp:237-243)."""
+    pose = camera.pose_interpolate(np.asarray(data["poses"][idx_0]),
+                                   np.asarray(data["poses"][idx_1]), alpha)
+    return pose_rays(data, jnp.asarray(pose), height, width, reso_level)
+
+
+def rand_rays_whole_space(data: dict, key, n_rays: int, height: int, width: int,
+                          window_size: int = 10):
+    """Random rays from a pose blended between three nearby train cameras
+    (RandRaysWholeSpace, Dataset.cpp:245-255). Host-side pose synthesis +
+    jittable ray gen."""
+    import numpy as _np
+    rng = _np.random.RandomState(int(jax.random.randint(key, (), 0, 1 << 31)))
+    n_images = data["poses"].shape[0]
+    base = rng.randint(0, max(n_images - window_size, 1))
+    a, b, c = (base + rng.randint(0, window_size, 3)) % n_images
+    wa, wb, wc = rng.rand(3) + 1e-7
+    poses = _np.asarray(data["poses"])
+    pose = camera.pose_interpolate(poses[a], poses[b], wb / (wb + wa))
+    pose = camera.pose_interpolate(pose, poses[c], wc / (wa + wb + wc))
+    k1, k2 = jax.random.split(key)
+    i = jax.random.randint(k1, (n_rays,), 0, height).astype(jnp.float32) + 0.5
+    j = jax.random.randint(k2, (n_rays,), 0, width).astype(jnp.float32) + 0.5
+    rays_o, rays_d = camera.pixel_to_ray(
+        jnp.asarray(pose), data["intri"][0], data["dist"][0], i, j)
+    return rays_o, rays_d
+
+
 def camera_rays(data: dict, cam_idx: int, height: int, width: int,
                 reso_level: int = 1):
     """Full-image ray grid (RaysOfCamera, Dataset.cpp:177-196).

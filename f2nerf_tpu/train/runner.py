@@ -43,6 +43,8 @@ class Runner:
 
         if cfg.get("is_continue"):
             self.trainer.load_checkpoint()
+        if cfg.get("reset"):
+            self.trainer.reset()
 
         t = cfg["train"]
         self.end_iter = int(t["end_iter"])

@@ -159,12 +159,28 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
     loss_w = dict(disp_loss_weight=float(tcfg["disp_loss_weight"]),
                   tv_loss_weight=float(tcfg["tv_loss_weight"]))
     tx = make_optimizer()
+    single_image = str(cfg["dataset"].get(
+        "ray_sample_mode", "all_images")) == "single_image"
+    sampler = ds.sample_rays_single_image if single_image else ds.sample_rays
+
+    host_data = not bool(cfg["dataset"].get("data_at_gpu", True))
 
     @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
-    def step(params, opt_state, tree, consts, data, key, runtime, n_rays):
+    def step(params, opt_state, tree, consts, data, key, runtime, n_rays,
+             host_batch=None):
         k_rays, k_render = jax.random.split(key)
-        rays_o, rays_d, bounds, gt, img_idx = ds.sample_rays(
-            data, k_rays, n_rays, height, width)
+        if host_batch is None:
+            rays_o, rays_d, bounds, gt, img_idx = sampler(
+                data, k_rays, n_rays, height, width)
+        else:
+            # data_at_gpu=false: pixels were gathered on host (native
+            # multithreaded loader); rays still generated on device
+            from ..core import camera as cam
+            gt, img_idx, i, j = (host_batch["gt"], host_batch["img_idx"],
+                                 host_batch["i"], host_batch["j"])
+            rays_o, rays_d = cam.pixel_to_ray(
+                data["poses"][img_idx], data["intri"][img_idx],
+                data["dist"][img_idx], i + 0.5, j + 0.5)
 
         def loss_fn(p):
             result, occ = render(
@@ -226,7 +242,13 @@ class Trainer:
         self.iter_step = 0
 
         self.dataset = ds.Dataset(data_path, cfg["dataset"], load_images=load_images)
+        self.data_at_gpu = bool(cfg["dataset"].get("data_at_gpu", True))
         self.data = self.dataset.device_arrays()
+        if not self.data_at_gpu:
+            # host data-loader mode: pixels gathered on host per batch
+            # (native multithreaded path), only camera metadata on device
+            self.data.pop("train_images", None)
+            self._host_rng = np.random.default_rng(seed + 1)
 
         # octree over train cameras (PersSampler ctor, PersSampler.cpp:661-690)
         c2w, w2c, intri, bounds = self.dataset.train_arrays
@@ -321,9 +343,12 @@ class Trainer:
                 schedules.var_loss_weight(self.iter_step, tcfg)),
         )
         self.key, k = jax.random.split(self.key)
+        host_batch = None
+        if not self.data_at_gpu:
+            host_batch = self._host_sample(n_rays)
         self.params, self.opt_state, self.tree, aux = step_fn(
             self.params, self.opt_state, self.tree, self.consts, self.data,
-            k, runtime, n_rays)
+            k, runtime, n_rays, host_batch)
 
         self.iter_step += 1
         self._pending.append((n_rays, aux))
@@ -346,6 +371,39 @@ class Trainer:
         if changed:
             self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                           self.max_trans, self.max_edges)
+
+    def _host_sample(self, n_rays: int) -> dict:
+        """Host-side ray-pixel sampling for data_at_gpu=false: random
+        (camera, pixel) picks + multithreaded native gt gather."""
+        rng = self._host_rng
+        ts = self.dataset.train_set
+        img_idx = ts[rng.integers(0, len(ts), n_rays)].astype(np.int32)
+        i = rng.integers(0, self.dataset.height, n_rays).astype(np.int32)
+        j = rng.integers(0, self.dataset.width, n_rays).astype(np.int32)
+        from .. import native
+        gt = None
+        if native.available():
+            gt = native.sample_pixels(self.dataset.images, img_idx, i, j)
+        if gt is None:
+            gt = self.dataset.images[img_idx, i, j].astype(np.float32) / 255.0
+        return dict(gt=jnp.asarray(gt), img_idx=jnp.asarray(img_idx),
+                    i=jnp.asarray(i, jnp.float32), j=jnp.asarray(j, jnp.float32))
+
+    def reset(self):
+        """Re-initialize field/shader params in place (config `reset` flag;
+        Hash3DAnchored::Reset feat ~ U(-1e-2, 1e-2) + MLP re-init,
+        Hash3DAnchored.cpp:152-155, SHShader.cpp:58-60)."""
+        self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+        fcfg, scfg = self.cfg["field"], self.cfg["shader"]
+        self.params["feat_pool"] = jax.random.uniform(
+            k1, self.params["feat_pool"].shape, jnp.float32, -1e-2, 1e-2)
+        self.params["field_mlp"] = init_mlp(
+            k2, he.N_LEVELS * he.N_CHANNELS, int(fcfg["mlp_out_dim"]),
+            int(fcfg["mlp_hidden_dim"]), int(fcfg["n_hidden_layers"]))
+        self.params["shader_mlp"] = init_mlp(
+            k3, int(scfg["d_in"]), int(scfg["d_out"]),
+            int(scfg["d_hidden"]), int(scfg["n_hiddens"]))
+        self.opt_state = make_optimizer().init(self.params)
 
     # ------------------------------------------------------------- checkpoints
 

@@ -119,3 +119,58 @@ def test_eval_render(trainer):
     assert np.isfinite(colors).all() and np.isfinite(disp).all()
     # mid-gray eval background means colors can't be all-zero
     assert colors.std() > 1e-3
+
+
+def test_host_data_loader(trainer, tmp_path_factory):
+    """data_at_gpu=false: host-side pixel gather feeds the same step."""
+    from f2nerf_tpu.utils.config import compose
+    from f2nerf_tpu.train.trainer import Trainer
+    cfg = compose("confs", "wanjinyou", [
+        "train.pts_batch_size=4096",
+        "train.learning_rate_warm_up_end_iter=10",
+        "pts_sampler.bbox_levels=6",
+        "pts_sampler.max_level=4",
+        "pts_sampler.sample_l=0.015625",
+        "train.ray_march_init_fineness=2",
+        "field.log2_table_size=12",
+        "dataset.data_at_gpu=false",
+        "+capacity.max_nodes=8192",
+        "+capacity.max_trans=512",
+        "+capacity.max_edges=16384",
+    ])
+    tr = Trainer(cfg, str(tmp_path_factory.mktemp("exp_host")),
+                 trainer.dataset.data_path, seed=3)
+    assert "train_images" not in tr.data
+    for _ in range(3):
+        m = tr.train_one()
+    assert np.isfinite(m["loss"]) and m["n_sampled"] > 0
+
+
+def test_single_image_ray_mode(trainer, tmp_path_factory):
+    from f2nerf_tpu.utils.config import compose
+    from f2nerf_tpu.train.trainer import Trainer
+    cfg = compose("confs", "wanjinyou", [
+        "train.pts_batch_size=4096",
+        "pts_sampler.bbox_levels=6",
+        "pts_sampler.max_level=4",
+        "pts_sampler.sample_l=0.015625",
+        "train.ray_march_init_fineness=2",
+        "field.log2_table_size=12",
+        "dataset.ray_sample_mode=single_image",
+        "+capacity.max_nodes=8192",
+        "+capacity.max_trans=512",
+        "+capacity.max_edges=16384",
+    ])
+    tr = Trainer(cfg, str(tmp_path_factory.mktemp("exp_si")),
+                 trainer.dataset.data_path, seed=4)
+    m = tr.train_one()
+    assert np.isfinite(m["loss"])
+
+
+def test_reset(trainer):
+    p0 = np.asarray(trainer.params["feat_pool"])
+    trainer.reset()
+    p1 = np.asarray(trainer.params["feat_pool"])
+    assert np.abs(p0 - p1).max() > 0
+    m = trainer.train_one()
+    assert np.isfinite(m["loss"])
