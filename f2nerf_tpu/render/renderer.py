@@ -51,6 +51,13 @@ class RenderStatics(NamedTuple):
     use_app_emb: bool
     bg_mode: str          # 'rand_noise' | 'white' | 'black'
     train: bool
+    # Single-pass mode: skip the separate no-grad prefilter + recompaction
+    # and mask dead samples instead. Numerically identical compositing; the
+    # batch controller enables it while the early-stop would cull almost
+    # nothing (early training: meaningful ~= sampled), saving a whole field
+    # query per step. The reference always runs two passes
+    # (Renderer.cpp:106-170).
+    single_pass: bool = False
 
 
 def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
@@ -145,33 +152,45 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
     pts01_a = (warp_a + 1.0) * 0.5
     dirs_a = rays_d[rid_ac]
 
-    # --- no-grad prefilter (Renderer.cpp:106-137)
-    feat_a = jax.lax.stop_gradient(
-        _field_query(params, consts, pts01_a, trans_a, st))
-    sigma_a = density_activation(feat_a[:, 0])
-    sigma_a = jnp.where(ok_a, sigma_a, 0.0)
-    sec_a = sigma_a * a["dt"]
-    first_a = first_flags_from_ray_id(rid_a, R)
-    acc_a = segment_cumsum(sec_a, first_a, exclusive=True)
-    trans_vis_a = jnp.exp(-acc_a)
-    alpha_a = 1.0 - jnp.exp(-sec_a)
-    weights_a = trans_vis_a * alpha_a
-    keep = ok_a & (trans_vis_a > 1e-4)
-
     occ = None
-    if st.train:
-        occ = dv.compute_occupancy_adders(
-            tree, jnp.where(ok_a, a["node"], -1), rid_a,
-            jax.lax.stop_gradient(weights_a), jax.lax.stop_gradient(alpha_a), R)
+    n_keep = None
+    if st.single_pass:
+        # one grad pass over all sampled points; dead-sample suffixes have
+        # transmittance < 1e-4 and contribute negligibly to the composite
+        b = dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
+                 dirs=dirs_a, node=a["node"])
+        rid_b, ok_b = rid_a, ok_a
+        rid_bc = jnp.minimum(rid_b, R - 1)
+        vol_b = trans_a
+    else:
+        # --- no-grad prefilter (Renderer.cpp:106-137)
+        feat_a = jax.lax.stop_gradient(
+            _field_query(params, consts, pts01_a, trans_a, st))
+        sigma_a = density_activation(feat_a[:, 0])
+        sigma_a = jnp.where(ok_a, sigma_a, 0.0)
+        sec_a = sigma_a * a["dt"]
+        first_a = first_flags_from_ray_id(rid_a, R)
+        acc_a = segment_cumsum(sec_a, first_a, exclusive=True)
+        trans_vis_a = jnp.exp(-acc_a)
+        alpha_a = 1.0 - jnp.exp(-sec_a)
+        weights_a = trans_vis_a * alpha_a
+        keep = ok_a & (trans_vis_a > 1e-4)
+        n_keep = jnp.sum(keep.astype(jnp.float32))
 
-    # --- compact A -> B [CAP2] (FilterIdxBounds equivalent)
-    b, rid_b, ok_b, _ = _compact(
-        keep, st.cap2,
-        dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
-             dirs=dirs_a, node=a["node"]),
-        R, ray_id_src=rid_a)
-    rid_bc = jnp.minimum(rid_b, R - 1)
-    vol_b = jnp.where(ok_b, b["trans"], 0)
+        if st.train:
+            occ = dv.compute_occupancy_adders(
+                tree, jnp.where(ok_a, a["node"], -1), rid_a,
+                jax.lax.stop_gradient(weights_a),
+                jax.lax.stop_gradient(alpha_a), R)
+
+        # --- compact A -> B [CAP2] (FilterIdxBounds equivalent)
+        b, rid_b, ok_b, _ = _compact(
+            keep, st.cap2,
+            dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
+                 dirs=dirs_a, node=a["node"]),
+            R, ray_id_src=rid_a)
+        rid_bc = jnp.minimum(rid_b, R - 1)
+        vol_b = jnp.where(ok_b, b["trans"], 0)
 
     # --- grad-enabled field query (+ edge samples for TV loss)
     if st.train:
@@ -227,6 +246,14 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
     disparity = segment_sum(weights / sampled_t, rid_b, R)
     depth = segment_sum(weights * sampled_t, rid_b, R) / (1.0 - last_trans + 1e-4)
 
+    if st.single_pass:
+        n_keep = jnp.sum((ok_b & (trans_vis > 1e-4)).astype(jnp.float32))
+        if st.train:
+            occ = dv.compute_occupancy_adders(
+                tree, jnp.where(ok_b, b["node"], -1), rid_b,
+                jax.lax.stop_gradient(weights),
+                jax.lax.stop_gradient(jnp.where(ok_b, alpha, 0.0)), R)
+
     result = dict(
         colors=colors,
         first_oct_dis=first_oct,
@@ -239,10 +266,11 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
         last_trans=last_trans,
         stats=dict(
             n_sampled=jnp.sum(ok_a.astype(jnp.float32)),
-            n_meaningful=jnp.sum(keep.astype(jnp.float32)),
+            n_meaningful=n_keep,
             n_oct_hits=jnp.sum(n_hits.astype(jnp.float32)),
             overflow_a=jnp.sum(n_s.astype(jnp.float32)) - jnp.sum(ok_a.astype(jnp.float32)),
-            overflow_b=jnp.sum(keep.astype(jnp.float32)) - jnp.sum(ok_b.astype(jnp.float32)),
+            overflow_b=(0.0 if st.single_pass else
+                        n_keep - jnp.sum(ok_b.astype(jnp.float32))),
         ),
     )
     return result, occ

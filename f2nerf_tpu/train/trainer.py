@@ -296,10 +296,16 @@ class Trainer:
     def _get_step(self, n_rays: int):
         max_s = max_s_for(n_rays, self.pts_batch)
         cap1, cap2 = self._caps(n_rays, max_s)
-        key = (n_rays, cap1, cap2)
+        # single-pass render while early-stop culling would remove <10% of
+        # samples (saves a whole field query; see RenderStatics.single_pass)
+        single_pass = self.ema_meaningful > 0.9 * self.ema_sampled
+        if single_pass:
+            cap2 = cap1
+        key = (n_rays, cap1, cap2, single_pass)
         if key not in self._step_cache:
             st = render_statics(self.cfg, n_rays, self.dataset.near,
                                 train=True, max_s=max_s, cap1=cap1, cap2=cap2)
+            st = st._replace(single_pass=single_pass)
             self._step_cache[key] = (
                 make_train_step(self.cfg, st, self.dataset.height,
                                 self.dataset.width), st)
