@@ -57,8 +57,12 @@ class DeviceTree(NamedTuple):
     weight_stats: jnp.ndarray  # [N] i32
     alpha_stats: jnp.ndarray   # [N] i32
     visit_cnt: jnp.ndarray     # [N] i32
-    w2xz: jnp.ndarray        # [M, 12, 2, 4]
-    weight: jnp.ndarray      # [M, 3, 12]
+    # warp tables, stored FLAT: a gathered [n, 12, 2, 4] tensor would pad
+    # its minor dims to (8, 128) on TPU (~128x memory bloat); [n, 96] rows
+    # pad only 96 -> 128. Layout: w2xz[m, 8k + 4r + c] = matrix k, row r,
+    # col c; weight[m, 12a + k] = output axis a, projection k.
+    w2xz: jnp.ndarray        # [M, 96]
+    weight: jnp.ndarray      # [M, 36]
     t_center: jnp.ndarray    # [M, 3]
     t_dis: jnp.ndarray       # [M]
     edge_t: jnp.ndarray      # [E, 2] i32
@@ -89,8 +93,8 @@ def to_device_tree(tree: OctreeHost, max_nodes: int, max_trans: int,
         weight_stats=jnp.asarray(_pad(tree.weight_stats, max_nodes)),
         alpha_stats=jnp.asarray(_pad(tree.alpha_stats, max_nodes)),
         visit_cnt=jnp.asarray(_pad(tree.visit_cnt, max_nodes)),
-        w2xz=jnp.asarray(_pad(tree.w2xz, max_trans)),
-        weight=jnp.asarray(_pad(tree.weight, max_trans)),
+        w2xz=jnp.asarray(_pad(tree.w2xz.reshape(-1, 96), max_trans)),
+        weight=jnp.asarray(_pad(tree.weight.reshape(-1, 36), max_trans)),
         t_center=jnp.asarray(_pad(tree.t_center, max_trans)),
         t_dis=jnp.asarray(_pad(tree.t_dis, max_trans, 1.0)),
         edge_t=jnp.asarray(_pad(tree.edge_t, max_edges)),
@@ -133,28 +137,47 @@ def _slab(center, side, o, d, big=1e6):
     return tn.max(axis=-1), tf.min(axis=-1)
 
 
+def _rows(mat_t):
+    """[cols, n] transposed gather -> list of [n] row vectors (sublane
+    slices are cheap; lane slices of [n, cols] are not)."""
+    return [mat_t[i] for i in range(mat_t.shape[0])]
+
+
 def apply_warp(tree: DeviceTree, trans_idx: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Warp world points [n, 3] through per-point leaf warps
-    (QueryFrameTransform, PersSampler.cu:155-168)."""
-    m = tree.w2xz[trans_idx]          # [n, 12, 2, 4]
-    w = tree.weight[trans_idx]        # [n, 3, 12]
-    a = jnp.einsum("nkc,nc->nk", m[:, :, 0, :3], pts) + m[:, :, 0, 3]
-    b = jnp.einsum("nkc,nc->nk", m[:, :, 1, :3], pts) + m[:, :, 1, 3]
-    v = a / b
-    return jnp.einsum("nak,nk->na", w, v)
+    (QueryFrameTransform, PersSampler.cu:155-168). All math on flat [n]
+    vectors (see the DeviceTree layout note)."""
+    m = _rows(tree.w2xz[trans_idx].T)     # 96 x [n]
+    w = _rows(tree.weight[trans_idx].T)   # 36 x [n]
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    out = [0.0, 0.0, 0.0]
+    for k in range(N_PROS):
+        a = m[8 * k] * x + m[8 * k + 1] * y + m[8 * k + 2] * z + m[8 * k + 3]
+        b = m[8 * k + 4] * x + m[8 * k + 5] * y + m[8 * k + 6] * z + m[8 * k + 7]
+        v = a / b
+        for ax in range(3):
+            out[ax] = out[ax] + w[12 * ax + k] * v
+    return jnp.stack(out, axis=-1)
 
 
-def warp_jac_dir(w2xz, weight, pts, dirs):
+def warp_jac_dir(w2xz_rows, weight_rows, pts, dirs):
     """|J(x) @ d| per ray, with J the warp Jacobian
     (QueryFrameTransformJac, PersSampler.cu:170-187).
-    w2xz [n,12,2,4], weight [n,3,12], pts/dirs [n,3]."""
-    a = jnp.einsum("nkc,nc->nk", w2xz[:, :, 0, :3], pts) + w2xz[:, :, 0, 3]
-    b = jnp.einsum("nkc,nc->nk", w2xz[:, :, 1, :3], pts) + w2xz[:, :, 1, 3]
-    # dv/dxyz = (1/b) row0 - (a/b^2) row1   [n, 12, 3]
-    dv = w2xz[:, :, 0, :3] / b[..., None] - \
-        (a / (b * b))[..., None] * w2xz[:, :, 1, :3]
-    jd = jnp.einsum("nak,nkc,nc->na", weight, dv, dirs)  # [n, 3] = J @ d
-    return jnp.linalg.norm(jd, axis=-1)
+    w2xz_rows: 96 x [n], weight_rows: 36 x [n] (from _rows of transposed
+    gathers), pts/dirs [n, 3]."""
+    m, w = w2xz_rows, weight_rows
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    jd = [0.0, 0.0, 0.0]
+    for k in range(N_PROS):
+        a = m[8 * k] * x + m[8 * k + 1] * y + m[8 * k + 2] * z + m[8 * k + 3]
+        b = m[8 * k + 4] * x + m[8 * k + 5] * y + m[8 * k + 6] * z + m[8 * k + 7]
+        r0d = m[8 * k] * dx + m[8 * k + 1] * dy + m[8 * k + 2] * dz
+        r1d = m[8 * k + 4] * dx + m[8 * k + 5] * dy + m[8 * k + 6] * dz
+        dvd = r0d / b - (a / (b * b)) * r1d   # dv_k/dxyz . d
+        for ax in range(3):
+            jd[ax] = jd[ax] + w[12 * ax + k] * dvd
+    return jnp.sqrt(jd[0] ** 2 + jd[1] ** 2 + jd[2] ** 2)
 
 
 # ----------------------------------------------------------------- traversal
@@ -323,7 +346,8 @@ def ray_march(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # ---------- EMIT branch: evaluate warp Jacobian, maybe emit sample
         tr = jnp.maximum(tree.trans_idx[jnp.maximum(node, 0)], 0)
         xyz = rays_o + rays_d * t[:, None]
-        pnorm = warp_jac_dir(tree.w2xz[tr], tree.weight[tr], xyz, rays_d) + 1e-6
+        pnorm = warp_jac_dir(_rows(tree.w2xz[tr].T), _rows(tree.weight[tr].T),
+                             xyz, rays_d) + 1e-6
         radius = jnp.linalg.norm(rays_o - tree.t_center[tr], axis=-1) / tree.t_dis[tr]
         radius_clip = jnp.maximum(radius, 1.0)
         step_noise = noise[rows + n_out]
