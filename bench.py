@@ -25,12 +25,13 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def find_dataset():
-    for cand in (
-        os.path.join(_REPO, "data", "example", "ngp_fox"),
-        "/root/reference/data/example/ngp_fox",
-    ):
-        if os.path.exists(os.path.join(cand, "cams_meta.npy")):
-            return cand, None
+    if os.environ.get("F2_BENCH_SYNTH", "0") != "1":
+        for cand in (
+            os.path.join(_REPO, "data", "example", "ngp_fox"),
+            "/root/reference/data/example/ngp_fox",
+        ):
+            if os.path.exists(os.path.join(cand, "cams_meta.npy")):
+                return cand, None
     from f2nerf_tpu.utils.synthetic import write_ball_dataset, TINY_OVERRIDES
     return write_ball_dataset(tempfile.mkdtemp(prefix="f2bench_")), TINY_OVERRIDES
 
@@ -42,6 +43,7 @@ def main():
     from f2nerf_tpu.train.trainer import Trainer
 
     data_path, extra = find_dataset()
+    workload = "ngp_fox" if extra is None else "synthetic-ball"
     cfg = compose(os.path.join(_REPO, "confs"), "wanjinyou", extra or [])
     tr = Trainer(cfg, tempfile.mkdtemp(prefix="f2bench_exp_"), data_path,
                  seed=2022)
@@ -75,7 +77,7 @@ def main():
     rays_per_sec = rays / dt
 
     print(json.dumps({
-        "metric": "ngp_fox wanjinyou training throughput (TPU v5e-1)",
+        "metric": f"{workload} wanjinyou training throughput",
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
