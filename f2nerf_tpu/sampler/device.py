@@ -225,19 +225,12 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         leaf_u = tree.is_leaf[u]
         tr_u = tree.trans_idx[u]
 
-        # restart point after an advance: walk up from the current node
-        # instead of the root — the next cell usually shares a near ancestor
-        # (halves the lockstep iteration count vs root restarts)
-        inside_u = jnp.abs(p - c_u).max(axis=-1) <= s_u * 0.5
-        parent_u = jnp.maximum(tree.parent[u], 0)
 
         # ---- leaf: emit (if valid) and restart past its exit
         n_l, f_l = _slab(c_u, s_u, rays_o, rays_d)
         n_l = jnp.maximum(n_l, near)
         f_l = jnp.minimum(f_l, far)
-        up = (~inside_u) & (u != 0)
-        emit = (~done) & (~up) & leaf_u & (tr_u >= 0) & (n_l < f_l) & \
-            (cnt < max_hits)
+        emit = (~done) & leaf_u & (tr_u >= 0) & (n_l < f_l) & (cnt < max_hits)
         rows = jnp.arange(R)
         slot = jnp.minimum(cnt, max_hits - 1)
         hit_idx = s["hit_idx"].at[rows, slot].set(
@@ -271,17 +264,18 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         skip_eps = jnp.maximum(
             jnp.where(hit_ahead, c_side, oct_side) * 1e-4, eps0)
 
-        # ---- merge branches (priority: done > up-walk > leaf > descend/skip)
-        new_t = jnp.where(done | up, t,
+        # ---- merge branches (restart-from-root after leaf exits / skips;
+        # an up-walk variant livelocked on deep real-scene trees)
+        new_t = jnp.where(done, t,
                           jnp.where(leaf_u, leaf_t,
                                     jnp.where(inside_c, t, skip_t)))
         new_u = jnp.where(done, u,
-                          jnp.where(up, parent_u,
-                                    jnp.where(leaf_u | inside_c,
-                                              jnp.where(leaf_u, u, c), u)))
-        new_eps = jnp.where(done | up | inside_c, eps,
+                          jnp.where(leaf_u, 0,
+                                    jnp.where(inside_c, c, 0)))
+        new_eps = jnp.where(done | inside_c, eps,
                             jnp.where(leaf_u, leaf_eps, skip_eps))
-        new_done = done | ((new_t + new_eps) >= t_end) | (cnt >= max_hits)
+        new_done = done | (~inside_c & ((new_t + new_eps) >= t_end)) | \
+            (cnt >= max_hits)
 
         return dict(t=new_t, u=new_u, cnt=cnt, done=new_done, eps=new_eps,
                     hit_idx=hit_idx, hit_near=hit_near, hit_far=hit_far,
