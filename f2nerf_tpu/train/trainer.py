@@ -104,6 +104,17 @@ def pow2ceil(x: float) -> int:
     return p
 
 
+def cap_bucket(x: float) -> int:
+    """Round up to quarter-power-of-two granularity (1, 1.25, 1.5, 1.75
+    times a power of two): bounds padding waste at ~25% while keeping the
+    jit-cache churn low."""
+    p = max(pow2ceil(x) // 2, 4)
+    for mult in (4, 5, 6, 7, 8):
+        if p * mult // 4 >= x:
+            return p * mult // 4
+    return 2 * p
+
+
 def render_statics(cfg: dict, n_rays: int, global_near: float,
                    train: bool, max_s: int | None = None,
                    cap1: int | None = None, cap2: int | None = None) -> RenderStatics:
@@ -287,9 +298,9 @@ class Trainer:
         ragged sizes per step (PersSampler.cu:353-405); with static shapes we
         bucket to the next power of two over the running sample counts, so
         padding waste stays < ~2x while jit caches stay warm."""
-        cap1 = pow2ceil(1.5 * self.ema_sampled * n_rays)
+        cap1 = cap_bucket(1.3 * self.ema_sampled * n_rays)
         cap1 = int(np.clip(cap1, 16384, min(n_rays * max_s, 2 * self.pts_batch)))
-        cap2 = pow2ceil(1.4 * self.ema_meaningful * n_rays)
+        cap2 = cap_bucket(1.25 * self.ema_meaningful * n_rays)
         cap2 = int(np.clip(cap2, 16384, min(cap1, self.pts_batch)))
         return cap1, cap2
 
