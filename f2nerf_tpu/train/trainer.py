@@ -493,12 +493,20 @@ class Trainer:
     # -------------------------------------------------------------- rendering
 
     def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
-                     chunk: int = 8192):
+                     chunk: int = 4096, max_s: int = 512):
         """Chunked no-grad whole-image render. Returns (colors, disparity,
-        first_oct_disp) as numpy [n_rays, ...]."""
+        first_oct_disp) as numpy [n_rays, ...].
+
+        Eval capacities are exact (cap1 = chunk * max_s): sample counts on
+        full-image chunks are far above training batches, and any flat-buffer
+        overflow silently drops ALL samples of later rays (they render as
+        background). Single-pass: with no backward there is nothing to save
+        by prefiltering, so one field query serves compositing directly."""
         if not hasattr(self, "_eval_fn"):
             st = render_statics(self.cfg, chunk, self.dataset.near, train=False,
-                                max_s=1024)
+                                max_s=max_s, cap1=chunk * max_s,
+                                cap2=chunk * max_s)
+            st = st._replace(single_pass=True)
             self._eval_fn = make_render_fn(st)
         n = rays_o.shape[0]
         fineness = jnp.asarray(

@@ -111,14 +111,21 @@ def test_checkpoint_roundtrip(trainer):
 
 def test_eval_render(trainer):
     from f2nerf_tpu.data.dataset import camera_rays
-    ro, rd = camera_rays(trainer.data, int(trainer.dataset.test_set[0]),
+    idx = int(trainer.dataset.test_set[0])
+    ro, rd = camera_rays(trainer.data, idx,
                          trainer.dataset.height, trainer.dataset.width)
     colors, disp, octd = trainer.render_image(np.asarray(ro), np.asarray(rd),
-                                              chunk=2048)
+                                              chunk=1024, max_s=128)
     assert colors.shape == (trainer.dataset.height * trainer.dataset.width, 3)
     assert np.isfinite(colors).all() and np.isfinite(disp).all()
-    # mid-gray eval background means colors can't be all-zero
-    assert colors.std() > 1e-3
+    # eval must track training quality (catches silent sample-buffer
+    # overflows that leave rays rendering as background): its mse should be
+    # in the same regime as the recent train mse, not at the ~0.1+ level of
+    # an untrained/background-only render
+    gt = trainer.dataset.images[idx].reshape(-1, 3).astype(np.float32) / 255.0
+    mse_pred = float(((np.clip(colors, 0, 1) - gt) ** 2).mean())
+    train_mse = float(np.mean(trainer.mse_records[-10:]))
+    assert mse_pred < 3.0 * train_mse + 1e-3, (mse_pred, train_mse)
 
 
 def test_host_data_loader(trainer, tmp_path_factory):
