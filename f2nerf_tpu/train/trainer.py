@@ -226,7 +226,8 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
 
 def make_render_fn(statics: RenderStatics):
     """Jitted no-grad chunk renderer for eval/vis (RenderWholeImage,
-    ExpRunner.cpp:257-293 — 8192-ray chunks)."""
+    ExpRunner.cpp:257-293). Also returns the per-chunk truncated-sample
+    count so the caller can re-render saturated chunks at higher capacity."""
 
     @jax.jit
     def fn(params, consts, tree, rays_o, rays_d, fineness):
@@ -234,7 +235,8 @@ def make_render_fn(statics: RenderStatics):
                            jnp.zeros((rays_o.shape[0],), jnp.int32),
                            jax.random.PRNGKey(0), fineness,
                            jnp.asarray(1.0), statics)
-        return result["colors"], result["disparity"], result["first_oct_dis"]
+        return (result["colors"], result["disparity"],
+                result["first_oct_dis"], result["stats"]["overflow_a"])
 
     return fn
 
@@ -492,42 +494,62 @@ class Trainer:
 
     # -------------------------------------------------------------- rendering
 
-    def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
-                     chunk: int = 4096, max_s: int = 512):
-        """Chunked no-grad whole-image render. Returns (colors, disparity,
-        first_oct_disp) as numpy [n_rays, ...].
-
-        Eval capacities are exact (cap1 = chunk * max_s): sample counts on
-        full-image chunks are far above training batches, and any flat-buffer
-        overflow silently drops ALL samples of later rays (they render as
-        background). Single-pass: with no backward there is nothing to save
-        by prefiltering, so one field query serves compositing directly."""
-        if not hasattr(self, "_eval_fn"):
+    def _eval_fn_for(self, chunk: int, max_s: int):
+        """Eval renderer with EXACT capacities (cap1 = chunk * max_s):
+        flat-buffer overflow is impossible by construction (overflow drops
+        every sample of later rays — they'd render as background).
+        Single-pass: with no backward there is nothing to save by
+        prefiltering."""
+        key = (chunk, max_s)
+        if not hasattr(self, "_eval_fns"):
+            self._eval_fns = {}
+        if key not in self._eval_fns:
             st = render_statics(self.cfg, chunk, self.dataset.near, train=False,
                                 max_s=max_s, cap1=chunk * max_s,
                                 cap2=chunk * max_s)
             st = st._replace(single_pass=True)
-            self._eval_fn = make_render_fn(st)
+            self._eval_fns[key] = make_render_fn(st)
+        return self._eval_fns[key]
+
+    def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
+                     chunk: int = 4096, max_s: int = 256, max_s_hi: int = 1024):
+        """Chunked no-grad whole-image render. Returns (colors, disparity,
+        first_oct_disp) as numpy [n_rays, ...].
+
+        Two-tier: chunks render at a lean per-ray sample cap first; any
+        chunk that truncated samples (dense per-ray overflow) is re-rendered
+        at the high cap. All chunks are dispatched before fetching (hides
+        the per-call host<->device round trip)."""
+        fast = self._eval_fn_for(chunk, max_s)
         n = rays_o.shape[0]
         fineness = jnp.asarray(
             schedules.ray_march_fineness(self.iter_step, self.cfg["train"]))
         colors = np.zeros((n, 3), np.float32)
         disp = np.zeros((n,), np.float32)
         oct_d = np.full((n,), 1.0, np.float32)
-        # dispatch all chunks asynchronously, fetch afterwards (hides the
-        # per-call host<->device round trip)
-        pending = []
-        for i in range(0, n, chunk):
-            hi = min(i + chunk, n)
+
+        def dispatch(fn, lo):
+            hi = min(lo + chunk, n)
             ro = np.zeros((chunk, 3), np.float32)
             rd = np.ones((chunk, 3), np.float32)
-            ro[: hi - i] = rays_o[i:hi]
-            rd[: hi - i] = rays_d[i:hi]
-            pending.append((i, hi, self._eval_fn(
-                self.params, self.consts, self.tree,
-                jnp.asarray(ro), jnp.asarray(rd), fineness)))
-        for i, hi, (c, d, f) in pending:
-            colors[i:hi] = np.asarray(c)[: hi - i]
-            disp[i:hi] = np.asarray(d)[: hi - i]
-            oct_d[i:hi] = np.asarray(f)[: hi - i]
+            ro[: hi - lo] = rays_o[lo:hi]
+            rd[: hi - lo] = rays_d[lo:hi]
+            return (lo, hi, fn(self.params, self.consts, self.tree,
+                               jnp.asarray(ro), jnp.asarray(rd), fineness))
+
+        pending = [dispatch(fast, lo) for lo in range(0, n, chunk)]
+        redo = []
+        for lo, hi, (c, d, f, ov) in pending:
+            if max_s < max_s_hi and float(ov) > 0:
+                redo.append(lo)
+                continue
+            colors[lo:hi] = np.asarray(c)[: hi - lo]
+            disp[lo:hi] = np.asarray(d)[: hi - lo]
+            oct_d[lo:hi] = np.asarray(f)[: hi - lo]
+        if redo:
+            slow = self._eval_fn_for(chunk, max_s_hi)
+            for lo, hi, (c, d, f, _) in [dispatch(slow, lo) for lo in redo]:
+                colors[lo:hi] = np.asarray(c)[: hi - lo]
+                disp[lo:hi] = np.asarray(d)[: hi - lo]
+                oct_d[lo:hi] = np.asarray(f)[: hi - lo]
         return colors, disp, oct_d

@@ -111,6 +111,8 @@ def test_checkpoint_roundtrip(trainer):
 
 def test_eval_render(trainer):
     from f2nerf_tpu.data.dataset import camera_rays
+    while len(trainer.mse_records) < 30:  # self-sufficient when run alone
+        trainer.train_one()
     idx = int(trainer.dataset.test_set[0])
     ro, rd = camera_rays(trainer.data, idx,
                          trainer.dataset.height, trainer.dataset.width)
