@@ -77,12 +77,15 @@ def _make_visi_fn(rays_o: np.ndarray, rays_d: np.ndarray, bounds: np.ndarray,
     import jax
     import jax.numpy as jnp
 
+    # NOTE: the big ray arrays are passed as ARGUMENTS, not closure
+    # captures — captured array constants are materialized to host during
+    # HLO lowering, which is pathologically slow over a remote-device link.
     ro = jnp.asarray(rays_o, jnp.float32)          # [cams, 3]
     rd = jnp.asarray(rays_d, jnp.float32)          # [cams, pix, 3]
     bd = jnp.asarray(bounds, jnp.float32)          # [cams, 2]
 
     @jax.jit
-    def visi(centers, sides):                       # [chunk, 3], [chunk]
+    def visi(ro, rd, bd, centers, sides):           # [chunk, 3], [chunk]
         hf = sides[:, None, None, None] * 0.5
         c = centers[:, None, None, :]
         o = ro[None, :, None, :]
@@ -104,7 +107,8 @@ def _make_visi_fn(rays_o: np.ndarray, rays_d: np.ndarray, bounds: np.ndarray,
             m = min(chunk, n - i)
             cpad[:m] = centers[i:i + m]
             spad[:m] = sides[i:i + m]
-            out[i:i + m] = np.asarray(visi(jnp.asarray(cpad), jnp.asarray(spad)))[:m]
+            out[i:i + m] = np.asarray(
+                visi(ro, rd, bd, jnp.asarray(cpad), jnp.asarray(spad)))[:m]
         return out
 
     return run

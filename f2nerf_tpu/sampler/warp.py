@@ -50,8 +50,8 @@ def distance_summary(dis: np.ndarray) -> float:
 def _pca_rows(pts: np.ndarray) -> np.ndarray:
     """Top-3 principal directions of [n, k] points as rows [3, k]
     (reference PersSampler.cpp:423-435)."""
-    moved = pts - pts.mean(axis=0, keepdims=True)
-    cov = (moved[:, :, None] * moved[:, None, :]).mean(axis=0)
+    moved = (pts - pts.mean(axis=0, keepdims=True)).astype(np.float64)
+    cov = moved.T @ moved / moved.shape[0]
     l, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(l)[::-1]
     return v[:, order[:3]].T  # rows = top eigenvectors
@@ -143,24 +143,28 @@ def construct_trans(rand_pts: np.ndarray, c2w: np.ndarray, intri: np.ndarray,
     w2xz[:, 0, 3] = -(row0 * wp_pos).sum(-1)
     w2xz[:, 1, 3] = -(row1 * wp_pos).sum(-1)
 
-    # projected coords + Jacobian of v = a/b wrt world xyz
-    pts = np.asarray(rand_pts, np.float64)
-    a = pts @ w2xz[:, 0, :3].T + w2xz[:, 0, 3]   # [n, 12]
-    b = pts @ w2xz[:, 1, :3].T + w2xz[:, 1, 3]   # [n, 12]
+    # projected coords + Jacobian of v = a/b wrt world xyz; the per-point
+    # [n_pts, ...] tensors run in f32 (construction hot path: this runs per
+    # valid leaf), the small matrices stay f64
+    pts = np.asarray(rand_pts, np.float32)
+    w2xz32 = w2xz.astype(np.float32)
+    a = pts @ w2xz32[:, 0, :3].T + w2xz32[:, 0, 3]   # [n, 12]
+    b = pts @ w2xz32[:, 1, :3].T + w2xz32[:, 1, 3]   # [n, 12]
     assert b.max() < 0.0, "points must be in front of the virtual cameras"
     dv_da = 1.0 / b
     dv_db = a / (-b * b)
-    dv_dxyz = dv_da[..., None] * w2xz[None, :, 0, :3] + \
-        dv_db[..., None] * w2xz[None, :, 1, :3]  # [n, 12, 3]
+    dv_dxyz = dv_da[..., None] * w2xz32[None, :, 0, :3] + \
+        dv_db[..., None] * w2xz32[None, :, 1, :3]  # [n, 12, 3]
     v = a / b
 
-    weight = _pca_rows(v)  # [3, 12]
+    weight = _pca_rows(v)  # [3, 12] (f64 internally)
 
-    jac = np.einsum("ak,nkc->nac", weight, dv_dxyz)       # [n, 3, 3] warp wrt world
+    w32 = weight.astype(np.float32)
+    jac = np.matmul(w32[None], dv_dxyz)                    # [n, 3, 3]
     jac_w2w = np.linalg.inv(jac)                           # world wrt warp
-    jac_w2i = np.einsum("nkc,nca->nka", dv_dxyz, jac_w2w)  # [n, 12, 3] image wrt warp
+    jac_w2i = np.matmul(dv_dxyz, jac_w2w)                  # [n, 12, 3]
     jac_max = np.abs(jac_w2i).max(axis=1)                  # [n, 3]
-    mean_step = (1.0 / jac_max).mean(axis=0)               # [3]
+    mean_step = (1.0 / jac_max).mean(axis=0, dtype=np.float64)  # [3]
     weight = weight / mean_step[:, None]
 
     return dict(
