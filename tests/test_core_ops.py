@@ -259,3 +259,20 @@ def test_config_compose():
     cfg2 = compose("confs", "llff", [])
     assert cfg2["train"]["disp_loss_weight"] == pytest.approx(5e-2)
     assert cfg2["pts_sampler"]["sub_div_milestones"][0] == 1000
+
+
+def test_sh_general_degrees():
+    """General-degree SH (reference kernel supports <= 8) matches the
+    hardcoded degree-4 table and stays orthonormal at degree 8."""
+    from f2nerf_tpu.fields.sh import sh_encode_general
+    rng = np.random.RandomState(7)
+    v = rng.randn(4000, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    vd = jnp.asarray(v, jnp.float32)
+    np.testing.assert_allclose(np.asarray(sh_encode_general(vd, 4)),
+                               np.asarray(sh_encode(vd, 4)), atol=1e-5)
+    basis = np.asarray(sh_encode_general(vd, 8))
+    assert basis.shape == (4000, 64)
+    norms = (basis ** 2).mean(axis=0) * 4 * np.pi
+    np.testing.assert_allclose(norms, 1.0, atol=0.4)  # MC estimate
+    assert np.isfinite(np.asarray(sh_encode(vd, 8))).all()
