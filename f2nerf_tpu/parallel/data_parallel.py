@@ -38,6 +38,17 @@ from ..sampler import device as dv
 from ..train import trainer as T
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (DCN): each process owns its local devices
+    and the data mesh spans all of them. With no arguments JAX reads the
+    cluster env (TPU pods auto-configure). Call before any other JAX use."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:

@@ -72,7 +72,19 @@ class Runner:
         tr = self.trainer
         t_start = time.time()
         t_report = time.time()
+        # device-level tracing: F2_JAX_PROFILE=<dir> captures a jax.profiler
+        # trace of the first ~20 post-warmup iterations (TPU equivalent of
+        # the reference's #ifdef PROFILE ScopeWatch instrumentation)
+        prof_dir = os.environ.get("F2_JAX_PROFILE")
+        prof_window = (30, 50) if prof_dir else None
         while tr.iter_step < self.end_iter:
+            if prof_window and tr.iter_step == prof_window[0]:
+                import jax
+                jax.profiler.start_trace(prof_dir)
+            if prof_window and tr.iter_step == prof_window[1]:
+                import jax
+                jax.profiler.stop_trace()
+                prof_window = None
             sync = (tr.iter_step + 1) % self.report_freq == 0
             m = tr.train_one(sync=sync)
             step = tr.iter_step
