@@ -1,0 +1,55 @@
+"""Schedule curves vs the reference formulas (ExpRunner.cpp:221-254)."""
+
+import math
+
+import pytest
+
+from f2nerf_tpu.train import schedules
+
+CFG = dict(learning_rate=1e-2, learning_rate_alpha=1e-1,
+           learning_rate_warm_up_end_iter=1000, end_iter=20000,
+           ray_march_init_fineness=16, ray_march_fineness_decay_end_iter=10000,
+           gradient_scaling_start=1000, gradient_scaling_end=5000,
+           var_loss_weight=1e-2, var_loss_start=5000, var_loss_end=10000)
+
+
+def test_learning_rate_curve():
+    assert schedules.learning_rate(0, CFG) == 0.0
+    assert schedules.learning_rate(500, CFG) == pytest.approx(5e-3)
+    assert schedules.learning_rate(1000, CFG) == pytest.approx(1e-2)
+    # cosine tail ends at alpha * base
+    assert schedules.learning_rate(20000, CFG) == pytest.approx(1e-3)
+    mid = schedules.learning_rate(10500, CFG)
+    expect = 1e-2 * ((1 - 0.1) * (math.cos(0.5 * math.pi) * 0.5 + 0.5) + 0.1)
+    assert mid == pytest.approx(expect)
+
+
+def test_fineness_decay():
+    assert schedules.ray_march_fineness(0, CFG) == pytest.approx(16.0)
+    assert schedules.ray_march_fineness(10000, CFG) == 1.0
+    assert schedules.ray_march_fineness(5000, CFG) == pytest.approx(4.0)  # sqrt(16)
+
+
+def test_gradient_scaling_progress():
+    assert schedules.gradient_scaling_progress(0, CFG) == 0.0
+    assert schedules.gradient_scaling_progress(3000, CFG) == pytest.approx(0.5)
+    assert schedules.gradient_scaling_progress(5000, CFG) == 1.0
+    off = dict(CFG, gradient_scaling_start=0, gradient_scaling_end=0)
+    assert schedules.gradient_scaling_progress(0, off) == 1.0
+
+
+def test_var_loss_ramp():
+    assert schedules.var_loss_weight(4999, CFG) == 0.0
+    assert schedules.var_loss_weight(7500, CFG) == pytest.approx(5e-3)
+    assert schedules.var_loss_weight(10001, CFG) == pytest.approx(1e-2)
+
+
+def test_all_top_configs_compose():
+    from f2nerf_tpu.utils.config import compose
+    for name in ("wanjinyou", "wanjinyou_big", "free", "llff", "nerf-360"):
+        cfg = compose("confs", name, [])
+        for group in ("train", "dataset", "renderer", "pts_sampler",
+                      "field", "shader"):
+            assert group in cfg, (name, group)
+        assert cfg["shader"]["degree"] == 4
+        assert cfg["pts_sampler"]["type"] == "PersSampler"
