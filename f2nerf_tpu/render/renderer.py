@@ -269,6 +269,7 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
             n_meaningful=n_keep,
             n_oct_hits=jnp.sum(n_hits.astype(jnp.float32)),
             overflow_a=jnp.sum(n_s.astype(jnp.float32)) - jnp.sum(ok_a.astype(jnp.float32)),
+            n_saturated=jnp.sum((n_s >= st.max_s).astype(jnp.float32)),
             overflow_b=(0.0 if st.single_pass else
                         n_keep - jnp.sum(ok_b.astype(jnp.float32))),
         ),

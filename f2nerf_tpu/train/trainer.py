@@ -235,8 +235,11 @@ def make_render_fn(statics: RenderStatics):
                            jnp.zeros((rays_o.shape[0],), jnp.int32),
                            jax.random.PRNGKey(0), fineness,
                            jnp.asarray(1.0), statics)
+        # truncation indicator: flat-buffer overflow OR any ray that hit the
+        # dense per-ray cap (its tail samples were silently dropped)
+        trunc = result["stats"]["overflow_a"] + result["stats"]["n_saturated"]
         return (result["colors"], result["disparity"],
-                result["first_oct_dis"], result["stats"]["overflow_a"])
+                result["first_oct_dis"], trunc)
 
     return fn
 
@@ -494,19 +497,19 @@ class Trainer:
 
     # -------------------------------------------------------------- rendering
 
-    def _eval_fn_for(self, chunk: int, max_s: int):
-        """Eval renderer with EXACT capacities (cap1 = chunk * max_s):
-        flat-buffer overflow is impossible by construction (overflow drops
-        every sample of later rays — they'd render as background).
+    def _eval_fn_for(self, chunk: int, max_s: int, cap1: int | None = None):
+        """Eval renderer. With cap1 = chunk * max_s capacities are exact
+        (flat-buffer overflow impossible); leaner cap1 is allowed because
+        the returned truncation indicator triggers an exact re-render.
         Single-pass: with no backward there is nothing to save by
         prefiltering."""
-        key = (chunk, max_s)
+        cap1 = cap1 or chunk * max_s
+        key = (chunk, max_s, cap1)
         if not hasattr(self, "_eval_fns"):
             self._eval_fns = {}
         if key not in self._eval_fns:
             st = render_statics(self.cfg, chunk, self.dataset.near, train=False,
-                                max_s=max_s, cap1=chunk * max_s,
-                                cap2=chunk * max_s)
+                                max_s=max_s, cap1=cap1, cap2=cap1)
             st = st._replace(single_pass=True)
             self._eval_fns[key] = make_render_fn(st)
         return self._eval_fns[key]
@@ -516,11 +519,14 @@ class Trainer:
         """Chunked no-grad whole-image render. Returns (colors, disparity,
         first_oct_disp) as numpy [n_rays, ...].
 
-        Two-tier: chunks render at a lean per-ray sample cap first; any
-        chunk that truncated samples (dense per-ray overflow) is re-rendered
-        at the high cap. All chunks are dispatched before fetching (hides
-        the per-call host<->device round trip)."""
-        fast = self._eval_fn_for(chunk, max_s)
+        Two-tier: chunks render with a lean flat capacity sized off the
+        training sample EMA first; any chunk reporting truncation (flat
+        overflow or a ray at the dense cap) is re-rendered with exact
+        capacities. All chunks are dispatched before fetching (hides the
+        per-call host<->device round trip)."""
+        cap_fast = cap_bucket(min(max(2.0 * self.ema_sampled, 64.0) * chunk,
+                                  chunk * max_s))
+        fast = self._eval_fn_for(chunk, max_s, cap_fast)
         n = rays_o.shape[0]
         fineness = jnp.asarray(
             schedules.ray_march_fineness(self.iter_step, self.cfg["train"]))

@@ -86,12 +86,13 @@ def trainer(tmp_path_factory):
 
 
 def test_training_reduces_loss(trainer):
+    start = trainer.iter_step
     losses = []
     for _ in range(60):
         m = trainer.train_one()
         losses.append(m["mse"])
         assert np.isfinite(m["loss"]), m
-    assert trainer.iter_step == 60
+    assert trainer.iter_step == start + 60
     assert np.mean(losses[-10:]) < 0.85 * np.mean(losses[:10]), losses
 
 
