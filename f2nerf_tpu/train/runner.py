@@ -168,6 +168,10 @@ class Runner:
         tr = self.trainer
         poses = tr.dataset.render_poses
         assert poses is not None, "poses_render.npy not found in dataset"
+        # optional frame cap (override: +render_path_frames=N)
+        n_cap = int(self.cfg.get("render_path_frames") or 0)
+        if n_cap > 0:
+            poses = poses[:n_cap]
         h = tr.dataset.height // reso_level
         w = tr.dataset.width // reso_level
         import jax.numpy as jnp
