@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..fields.hash_block import hash_block_encode
 from ..fields.hash_encoding import hash_encode
 from ..fields.mlp import mlp_apply
 from ..fields.sh import sh_encode
@@ -58,6 +59,10 @@ class RenderStatics(NamedTuple):
     # query per step. The reference always runs two passes
     # (Renderer.cpp:106-170).
     single_pass: bool = False
+    # 'HashBlock' (TPU-native block-row layout, fields/hash_block.py) or
+    # 'Hash3DAnchored' (reference per-corner gather semantics,
+    # fields/hash_encoding.py)
+    field_type: str = "HashBlock"
 
 
 def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
@@ -83,11 +88,13 @@ def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
 
 def _field_query(params, consts, pts01, vol_idx, statics: RenderStatics):
     """hash encode + field MLP -> [n, 16] scene features
-    (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99). The hash op
-    carries a custom VJP with tiny residuals, so no remat is needed."""
-    feat = hash_encode(params["feat_pool"], consts["prim_pool"],
-                       consts["bias_pool"], pts01, vol_idx,
-                       statics.log2_table_size)
+    (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99). The hash ops
+    carry a custom VJP with tiny residuals, so no remat is needed."""
+    encode = (hash_block_encode if statics.field_type == "HashBlock"
+              else hash_encode)
+    feat = encode(params["feat_pool"], consts["prim_pool"],
+                  consts["bias_pool"], pts01, vol_idx,
+                  statics.log2_table_size)
     return mlp_apply(params["field_mlp"], feat)
 
 

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from ..data import dataset as ds
+from ..fields import hash_block as hbk
 from ..fields import hash_encoding as he
 from ..fields.mlp import init_mlp
 from ..ops.activations import weight_var
@@ -70,8 +71,15 @@ def init_params(key: jax.Array, cfg: dict, n_images: int, n_volumes: int):
     Hash3DAnchored.cpp:19-82, SHShader.cpp:10-21, Renderer.cpp:38-39)."""
     fcfg, scfg = cfg["field"], cfg["shader"]
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    feat_pool, prim_pool, bias_pool = he.init_hash_state(
-        k1, int(fcfg["log2_table_size"]), n_volumes, bool(fcfg["rand_bias"]))
+    ftype = str(fcfg.get("type", "HashBlock"))
+    if ftype == "HashBlock":
+        feat_pool, prim_pool, bias_pool = hbk.init_block_state(
+            k1, int(fcfg["log2_table_size"]), n_volumes,
+            bool(fcfg["rand_bias"]))
+    else:
+        feat_pool, prim_pool, bias_pool = he.init_hash_state(
+            k1, int(fcfg["log2_table_size"]), n_volumes,
+            bool(fcfg["rand_bias"]))
     params = dict(
         feat_pool=feat_pool,
         field_mlp=init_mlp(k2, he.N_LEVELS * he.N_CHANNELS,
@@ -134,6 +142,7 @@ def render_statics(cfg: dict, n_rays: int, global_near: float,
         cap2=cap2,
         n_edge=8192,
         log2_table_size=int(f["log2_table_size"]),
+        field_type=str(f.get("type", "HashBlock")),
         sh_degree=int(s["degree"]),
         sample_l=float(p["sample_l"]),
         # GetSamples ignores per-ray dataset bounds and uses the sampler's
