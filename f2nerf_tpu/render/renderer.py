@@ -63,6 +63,10 @@ class RenderStatics(NamedTuple):
     # 'Hash3DAnchored' (reference per-corner gather semantics,
     # fields/hash_encoding.py)
     field_type: str = "HashBlock"
+    # 'parallel' (while_loop-free jittered-grid marcher, the TPU-native
+    # default) or 'lockstep' (reference-exact sequential EMIT/ADVANCE
+    # state machine)
+    march_mode: str = "parallel"
 
 
 def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
@@ -130,18 +134,28 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
     # --- sampling (GetSamples ignores per-ray bounds: PersSampler.cu:322-325)
     near = jnp.full((R,), st.global_near)
     far = jnp.full((R,), 1e8)
-    hit_idx, hit_near, hit_far, n_hits = dv.traverse(
+    hit_idx, hit_near, hit_far, n_hits, trav_trunc = dv.traverse(
         tree, rays_o, rays_d, near, far, st.max_hits)
 
-    if st.train:
-        noise = (jax.random.uniform(k_noise, (R + st.max_s + 16,)) - 0.5) + 1.0
+    if st.march_mode == "parallel":
+        if st.train:
+            jitter = jax.random.uniform(k_noise, (R, st.max_s),
+                                        minval=1e-4, maxval=1.0)
+        else:
+            jitter = jnp.ones((R, st.max_s))
+        out_t, out_dt, out_node, n_s, first_oct = dv.ray_march_parallel(
+            tree, rays_o, rays_d, hit_idx, hit_near, hit_far, n_hits,
+            jitter, fineness, st.sample_l, st.scale_by_dis, st.max_s)
     else:
-        noise = jnp.ones((R + st.max_s + 16,))
-    noise = noise * fineness
+        if st.train:
+            noise = (jax.random.uniform(k_noise, (R + st.max_s + 16,)) - 0.5) + 1.0
+        else:
+            noise = jnp.ones((R + st.max_s + 16,))
+        noise = noise * fineness
 
-    out_t, out_dt, out_node, n_s, first_oct = dv.ray_march(
-        tree, rays_o, rays_d, hit_idx, hit_near, hit_far, n_hits,
-        noise, st.sample_l, st.scale_by_dis, st.max_s)
+        out_t, out_dt, out_node, n_s, first_oct = dv.ray_march(
+            tree, rays_o, rays_d, hit_idx, hit_near, hit_far, n_hits,
+            noise, st.sample_l, st.scale_by_dis, st.max_s)
 
     # --- compact dense -> flat buffer A [CAP1]
     pos = jnp.arange(st.max_s, dtype=jnp.int32)
@@ -277,6 +291,7 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
             n_oct_hits=jnp.sum(n_hits.astype(jnp.float32)),
             overflow_a=jnp.sum(n_s.astype(jnp.float32)) - jnp.sum(ok_a.astype(jnp.float32)),
             n_saturated=jnp.sum((n_s >= st.max_s).astype(jnp.float32)),
+            n_trav_truncated=jnp.sum(trav_trunc.astype(jnp.float32)),
             overflow_b=(0.0 if st.single_pass else
                         n_keep - jnp.sum(ok_b.astype(jnp.float32))),
         ),

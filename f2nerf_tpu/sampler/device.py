@@ -189,9 +189,15 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     """Ordered leaf intersections per ray via restart traversal.
 
     Returns (hit_idx [R, H] i32, hit_near [R, H], hit_far [R, H],
-    n_hits [R] i32). Replaces FindRayOctreeIntersectionKernel
+    n_hits [R] i32, trunc [R] bool). Replaces FindRayOctreeIntersectionKernel
     (PersSampler.cu:53-152); ordering along the ray is identical to the
     reference's direction-ordered DFS because leaf cells are disjoint.
+
+    trunc marks rays whose traversal was cut short — the hit buffer filled
+    (cnt hit max_hits) or the lockstep loop hit max_iters — i.e. hits may
+    have been silently dropped. The reference CHECK-crashes on the analogous
+    overflow (PersSampler.cu:330-337); here the caller surfaces the count as
+    a stat so pathological trees are observable instead of fatal.
     """
     R = rays_o.shape[0]
     root_side = tree.side[0]
@@ -207,6 +213,7 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         cnt=jnp.zeros((R,), jnp.int32),
         done=t0 >= t_end,
         eps=jnp.full((R,), eps0),
+        trunc=jnp.zeros((R,), bool),
         hit_idx=jnp.full((R, max_hits), -1, jnp.int32),
         hit_near=jnp.zeros((R, max_hits)),
         hit_far=jnp.zeros((R, max_hits)),
@@ -274,15 +281,19 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                                     jnp.where(inside_c, c, 0)))
         new_eps = jnp.where(done | inside_c, eps,
                             jnp.where(leaf_u, leaf_eps, skip_eps))
-        new_done = done | (~inside_c & ((new_t + new_eps) >= t_end)) | \
-            (cnt >= max_hits)
+        reached_end = ~inside_c & ((new_t + new_eps) >= t_end)
+        cap_hit = cnt >= max_hits
+        new_done = done | reached_end | cap_hit
+        # buffer filled with ray not at its exit: hits beyond this are lost
+        trunc = s["trunc"] | (~done & cap_hit & ~reached_end)
 
         return dict(t=new_t, u=new_u, cnt=cnt, done=new_done, eps=new_eps,
-                    hit_idx=hit_idx, hit_near=hit_near, hit_far=hit_far,
-                    it=s["it"] + 1)
+                    trunc=trunc, hit_idx=hit_idx, hit_near=hit_near,
+                    hit_far=hit_far, it=s["it"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["hit_idx"], out["hit_near"], out["hit_far"], out["cnt"]
+    trunc = out["trunc"] | ~out["done"]  # ~done at exit == hit max_iters
+    return out["hit_idx"], out["hit_near"], out["hit_far"], out["cnt"], trunc
 
 
 # ------------------------------------------------------------------ marching
@@ -397,6 +408,93 @@ def ray_march(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     out = jax.lax.while_loop(cond, body, state)
     return out["out_t"], out["out_dt"], out["out_node"], out["n_out"], first_oct
+
+
+@partial(jax.jit, static_argnames=("max_s", "scale_by_dis"))
+def ray_march_parallel(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       hit_idx, hit_near, hit_far, n_hits,
+                       jitter: jnp.ndarray, fineness: jnp.ndarray,
+                       sample_l: float, scale_by_dis: bool, max_s: int):
+    """Fully parallel ray marching: no while_loop at all.
+
+    The reference's RayMarchKernel (PersSampler.cu:189-314) steps each ray
+    sequentially because dt depends on the warp Jacobian at the current
+    point. On TPU that lockstep loop costs ~max_s tiny fused iterations; this
+    redesign evaluates the Jacobian ONCE per (ray, hit-interval) at the
+    interval's entry (leaves are small, J varies smoothly inside one leaf)
+    and replaces the sequential noise random-walk with stratified
+    jittered-grid sampling (same expected density):
+
+      per hit h:  step_h = sample_l * fineness / |J(entry) d|
+                  n_h    = floor((far_h - near_h) / step_h)
+      sample k of hit h:  t = near_h + (k + u) * step_h,  u in (0, 1]
+
+    Slots map to hits with two fused compare-weighted reductions over the
+    hit axis (no [R, max_s, H] tensor is materialized — XLA input-fuses the
+    broadcasts into the reduces).
+
+    jitter: [R, max_s] in (0, 1] (all-ones for eval: t = near + (k+1)*step,
+    the reference's noise==1 spacing).
+    Returns the same dense buffers as ``ray_march``:
+      out_t [R, max_s], out_dt [R, max_s] (warp-space dt = sample_l *
+      fineness [* radius_clip]), out_node [R, max_s] i32, n_samples [R],
+      first_oct_dis [R].
+    """
+    R, H = hit_idx.shape
+    first_oct = jnp.where(n_hits > 0, hit_near[:, 0], 1e9)
+
+    valid_hit = jnp.arange(H, dtype=jnp.int32)[None, :] < n_hits[:, None]
+    node_c = jnp.maximum(hit_idx, 0)
+    tr = jnp.maximum(tree.trans_idx[node_c.reshape(-1)], 0)       # [R*H]
+
+    # entry-point warp Jacobian per (ray, hit)
+    o_rep = jnp.repeat(rays_o, H, axis=0)
+    d_rep = jnp.repeat(rays_d, H, axis=0)
+    xyz = o_rep + d_rep * hit_near.reshape(-1)[:, None]
+    pnorm = warp_jac_dir(_rows(tree.w2xz[tr].T), _rows(tree.weight[tr].T),
+                         xyz, d_rep) + 1e-6                        # [R*H]
+    dt_warp = sample_l * fineness * jnp.ones_like(pnorm)
+    if scale_by_dis:
+        radius = jnp.linalg.norm(o_rep - tree.t_center[tr], axis=-1) / \
+            tree.t_dis[tr]
+        dt_warp = dt_warp * jnp.maximum(radius, 1.0)
+    step = (dt_warp / pnorm).reshape(R, H)                         # world
+    dt_warp = dt_warp.reshape(R, H)
+
+    span = jnp.maximum(hit_far - hit_near, 0.0)
+    n_steps = jnp.where(valid_hit & (step > 0),
+                        jnp.floor(span / jnp.maximum(step, 1e-12)), 0.0)
+    n_steps = jnp.minimum(n_steps, float(max_s)).astype(jnp.int32)
+
+    ends = jnp.cumsum(n_steps, axis=1)                             # [R, H]
+    starts = ends - n_steps
+    total = ends[:, -1]
+    n_samples = jnp.minimum(total, max_s)
+
+    slots = jnp.arange(max_s, dtype=jnp.int32)                     # [S]
+
+    def slot_field(f):
+        """f [R, H] -> per-slot value [R, S] of the hit containing each
+        slot: sum_h f * (1[s < end_h] - 1[s < start_h]). Fused reduces."""
+        lt_end = slots[None, None, :] < ends[:, :, None]
+        lt_start = slots[None, None, :] < starts[:, :, None]
+        contrib = f[:, :, None] * (lt_end.astype(f.dtype)
+                                   - lt_start.astype(f.dtype))
+        return contrib.sum(axis=1)
+
+    near_s = slot_field(hit_near)
+    step_s = slot_field(step)
+    start_s = slot_field(starts.astype(jnp.float32))
+    dt_s = slot_field(dt_warp)
+    node_s = slot_field(hit_idx.astype(jnp.float32))  # ids < 2^24: exact
+
+    valid_s = slots[None, :] < n_samples[:, None]
+    k_s = slots[None, :].astype(jnp.float32) - start_s
+    out_t = near_s + (k_s + jitter) * step_s
+    out_t = jnp.where(valid_s, out_t, 0.0)
+    out_dt = jnp.where(valid_s, dt_s, 0.0)
+    out_node = jnp.where(valid_s, node_s.astype(jnp.int32), -1)
+    return out_t, out_dt, out_node, n_samples, first_oct
 
 
 # --------------------------------------------------------------- edge samples

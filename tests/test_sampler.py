@@ -129,10 +129,11 @@ def test_traversal_matches_brute_force(tree):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     near = np.full(R, 0.05, np.float32)
     far = np.full(R, 1e8, np.float32)
-    hit_idx, hit_near, hit_far, n_hits = dv.traverse(
+    hit_idx, hit_near, hit_far, n_hits, trunc = dv.traverse(
         dtree, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
         jnp.asarray(far), max_hits=64)
     hit_idx, hit_near, hit_far, n_hits = map(np.asarray, (hit_idx, hit_near, hit_far, n_hits))
+    assert not np.asarray(trunc).any()
     for r in range(R):
         bf = _brute_force_hits(tree, o[r], d[r], near[r], far[r])
         got = [(hit_near[r, k], hit_far[r, k], hit_idx[r, k])
@@ -156,7 +157,7 @@ def test_ray_march_uniform_steps(tree):
     near = np.full(R, 0.05, np.float32)
     far = np.full(R, 1e8, np.float32)
     hits = dv.traverse(dtree, jnp.asarray(o), jnp.asarray(d),
-                       jnp.asarray(near), jnp.asarray(far), max_hits=64)
+                       jnp.asarray(near), jnp.asarray(far), max_hits=64)[:4]
     max_s = 256
     noise = jnp.ones((R + max_s + 16,))
     sample_l = 1.0 / 64
@@ -248,3 +249,75 @@ def test_maintain_runs(tree):
     assert changed
     assert len(t2.milestones) == n_milestones - 1
     assert t2.n_nodes >= t.n_nodes
+
+
+def test_finish_trans_batch_matches_naive():
+    """The batched device PCA/Jacobian finisher must agree with the naive
+    single-leaf construct_trans (same rand_pts, same virtual cams)."""
+    c2w, w2c, intri, bounds = synthetic_rig(n_cams=12)
+    rng = np.random.default_rng(5)
+    leaves = []
+    for center, side in (((0.0, 0.0, 0.0), 0.8), ((0.3, -0.2, 0.1), 0.5),
+                         ((-0.4, 0.4, 0.0), 0.6)):
+        center = np.asarray(center)
+        pts = (rng.random((4096, 3)) - 0.5) * side + center
+        naive = wp.construct_trans(pts, c2w, intri[0], center, rng)
+        leaves.append((naive, pts))
+    w2xz = np.stack([n["w2xz"] for n, _ in leaves]).astype(np.float32)
+    pts_all = np.stack([p for _, p in leaves]).astype(np.float32)
+    weights = wp.finish_trans_batch(w2xz, pts_all, chunk=2)
+    for (naive, _), got in zip(leaves, weights):
+        want = naive["weight"]
+        # eigenvector sign is arbitrary: compare per row up to sign
+        for r in range(3):
+            d = min(np.abs(got[r] - want[r]).max(),
+                    np.abs(got[r] + want[r]).max())
+            assert d < 5e-2 * np.abs(want[r]).max(), (r, d, want[r], got[r])
+
+
+def test_ray_march_parallel_matches_reference_density(tree):
+    """Parallel jittered-grid marcher: with jitter == 1 the samples must be
+    exactly near_h + (k+1)*step_h inside each hit, dt == sample_l, and the
+    per-hit counts must equal floor(span/step) (entry-Jacobian step)."""
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    rng = np.random.RandomState(4)
+    R = 16
+    o = rng.uniform(-2, 2, (R, 3)).astype(np.float32)
+    d = rng.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full(R, 0.05, np.float32)
+    far = np.full(R, 1e8, np.float32)
+    hit_idx, hit_near, hit_far, n_hits = dv.traverse(
+        dtree, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+        jnp.asarray(far), max_hits=64)[:4]
+    max_s = 256
+    sample_l = 1.0 / 64
+    jit1 = jnp.ones((R, max_s))
+    out_t, out_dt, out_node, n_s, first_oct = dv.ray_march_parallel(
+        dtree, jnp.asarray(o), jnp.asarray(d), hit_idx, hit_near, hit_far,
+        n_hits, jit1, jnp.asarray(1.0), sample_l, False, max_s)
+    out_t, out_dt, out_node, n_s = map(
+        np.asarray, (out_t, out_dt, out_node, n_s))
+    hi, hn, hf, nh = map(np.asarray, (hit_idx, hit_near, hit_far, n_hits))
+    assert (n_s > 0).any()
+    for r in range(R):
+        k = n_s[r]
+        if k == 0:
+            continue
+        np.testing.assert_allclose(out_dt[r, :k], sample_l, rtol=1e-4)
+        assert (np.diff(out_t[r, :k]) > 0).all()
+        # every sample lies inside its hit interval
+        for s in range(k):
+            u = out_node[r, s]
+            j = list(hi[r, :nh[r]]).index(u)
+            assert hn[r, j] - 1e-4 <= out_t[r, s] <= hf[r, j] + 1e-4
+    # train mode: jittered samples stay inside their intervals too
+    jitr = jnp.asarray(rng.uniform(1e-4, 1.0, (R, max_s)).astype(np.float32))
+    out_t2, _, out_node2, n_s2, _ = map(np.asarray, dv.ray_march_parallel(
+        dtree, jnp.asarray(o), jnp.asarray(d), hit_idx, hit_near, hit_far,
+        n_hits, jitr, jnp.asarray(1.0), sample_l, False, max_s))
+    for r in range(R):
+        for s in range(n_s2[r]):
+            u = out_node2[r, s]
+            j = list(hi[r, :nh[r]]).index(u)
+            assert hn[r, j] - 1e-4 <= out_t2[r, s] <= hf[r, j] + 1e-4
