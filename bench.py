@@ -53,15 +53,7 @@ def main():
     for i in range(settle):
         tr.train_one(sync=(i % 4 == 3))
     # pin the bucket so the timed window has no recompiles
-    ema_m, ema_s = tr.ema_meaningful, tr.ema_sampled
-    orig = tr._ingest_aux
-
-    def pin(n_rays, aux):
-        out = orig(n_rays, aux)
-        tr.ema_meaningful, tr.ema_sampled = ema_m, ema_s
-        return out
-
-    tr._ingest_aux = pin
+    tr.freeze_controller()
     m = tr.train_one()
     n_rays = m["n_rays"]
 

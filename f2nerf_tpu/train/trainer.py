@@ -145,6 +145,7 @@ def render_statics(cfg: dict, n_rays: int, global_near: float,
         field_type=str(f.get("type", "HashBlock")),
         sh_degree=int(s["degree"]),
         sample_l=float(p["sample_l"]),
+        march_mode=str(p.get("march_mode", "parallel")),
         # GetSamples ignores per-ray dataset bounds and uses the sampler's
         # configured near (PersSampler.cu:322-325, PersSampler.cpp:678)
         global_near=float(p["near"]),
@@ -173,25 +174,37 @@ def compute_losses(result: dict, gt: jnp.ndarray, n_rays: int,
                       tv_loss=tv_loss, var_loss=var_loss, mse=mse)
 
 
-def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
-    """Build the jitted train step for one ray-batch bucket."""
+def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
+                    mesh=None):
+    """Build the jitted train step for one ray-batch bucket.
+
+    With ``mesh`` (a 1-D 'data' jax.sharding.Mesh) the SAME step body runs
+    SPMD under shard_map: each shard samples rays from its own camera shard
+    (key folded with the shard index), gradients are pmean'd over ICI,
+    occupancy votes pmax'd, loss scalars pmean'd and count stats psum'd.
+    ``n_rays`` is always the GLOBAL ray count; ``statics`` must be built for
+    the per-shard count (n_rays // mesh size). The reference has no
+    distributed layer (SURVEY.md §2.3) — this is the framework's own design.
+    """
     tcfg = cfg["train"]
     loss_w = dict(disp_loss_weight=float(tcfg["disp_loss_weight"]),
                   tv_loss_weight=float(tcfg["tv_loss_weight"]))
     tx = make_optimizer()
     single_image = str(cfg["dataset"].get(
         "ray_sample_mode", "all_images")) == "single_image"
+    # under a mesh, single_image picks one camera PER SHARD (a batch then
+    # mixes n_shards images — the per-shard semantics stay the reference's)
     sampler = ds.sample_rays_single_image if single_image else ds.sample_rays
+    n_shards = 1 if mesh is None else int(mesh.devices.size)
 
-    host_data = not bool(cfg["dataset"].get("data_at_gpu", True))
-
-    @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
-    def step(params, opt_state, tree, consts, data, key, runtime, n_rays,
-             host_batch=None):
+    def core(params, opt_state, tree, consts, data, key, runtime,
+             host_batch, n_local):
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         k_rays, k_render = jax.random.split(key)
         if host_batch is None:
             rays_o, rays_d, bounds, gt, img_idx = sampler(
-                data, k_rays, n_rays, height, width)
+                data, k_rays, n_local, height, width)
         else:
             # data_at_gpu=false: pixels were gathered on host (native
             # multithreaded loader); rays still generated on device
@@ -206,11 +219,20 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
             result, occ = render(
                 p, consts, tree, rays_o, rays_d, img_idx, k_render,
                 runtime["fineness"], runtime["grad_progress"], statics)
-            loss, aux = compute_losses(result, gt, n_rays, loss_w, runtime)
+            loss, aux = compute_losses(result, gt, n_local, loss_w, runtime)
             aux["stats"] = result["stats"]
             return loss, (aux, occ)
 
         grads, (aux, occ) = jax.grad(loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            occ = {k: jax.lax.pmax(v, "data") for k, v in occ.items()}
+            # scalar metrics: losses averaged, count stats summed
+            aux = dict(aux)
+            stats = {k: jax.lax.psum(v, "data")
+                     for k, v in aux.pop("stats").items()}
+            aux = {k: jax.lax.pmean(v, "data") for k, v in aux.items()}
+            aux["stats"] = stats
         new_tree = dv.apply_occupancy_adders(tree, occ)
 
         finite = jnp.all(jnp.asarray(
@@ -229,6 +251,35 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int):
             finite, do_update, skip_update, None)
         aux["grads_finite"] = finite
         return new_params, new_opt_state, new_tree, aux
+
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
+        def step(params, opt_state, tree, consts, data, key, runtime, n_rays,
+                 host_batch=None):
+            return core(params, opt_state, tree, consts, data, key, runtime,
+                        host_batch, n_rays)
+        return step
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
+    def step(params, opt_state, tree, consts, data, key, runtime, n_rays,
+             host_batch=None):
+        n_local = n_rays // n_shards
+        data_spec = {k: P("data") if k in ("train_images", "train_ids")
+                     else P() for k in data}
+        in_specs = [P(), P(), P(), P(), data_spec, P(), P()]
+        args = [params, opt_state, tree, consts, data, key, runtime]
+        if host_batch is not None:
+            in_specs.append({k: P("data") for k in host_batch})
+            args.append(host_batch)
+            fn = partial(core, n_local=n_local)
+        else:
+            fn = lambda *a: core(*a, host_batch=None, n_local=n_local)  # noqa: E731
+        sm = shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(), P(), P(), P()), check_vma=False)
+        return sm(*args)
 
     return step
 
@@ -253,6 +304,29 @@ def make_render_fn(statics: RenderStatics):
     return fn
 
 
+def _path_keys(tree, prefix: str) -> list[str]:
+    """Stable per-leaf npz keys derived from pytree paths (e.g.
+    ``p:[0].mu['feat_pool']``), so an optax version bump or params-dict
+    reorder loads by NAME instead of silently mis-assigning by position."""
+    paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [prefix + ":" + jax.tree_util.keystr(p) for p, _ in paths]
+
+
+def _named_flat(tree, prefix: str) -> dict:
+    keys = _path_keys(tree, prefix)
+    leaves = jax.tree_util.tree_leaves(tree)
+    return {k: np.asarray(v) for k, v in zip(keys, leaves)}
+
+
+def _named_unflatten(like, prefix: str, z) -> object:
+    tdef = jax.tree_util.tree_structure(like)
+    keys = _path_keys(like, prefix)
+    if keys and keys[0] not in z:  # legacy position-keyed checkpoint
+        keys = [f"{prefix}_{i}" for i in range(tdef.num_leaves)]
+    return jax.tree_util.tree_unflatten(
+        tdef, [jnp.asarray(z[k]) for k in keys])
+
+
 class Trainer:
     """Host-side training orchestration (ExpRunner::Train)."""
 
@@ -268,7 +342,30 @@ class Trainer:
 
         self.dataset = ds.Dataset(data_path, cfg["dataset"], load_images=load_images)
         self.data_at_gpu = bool(cfg["dataset"].get("data_at_gpu", True))
-        self.data = self.dataset.device_arrays()
+
+        # data-parallel mesh: 'auto' (default) shards over all local devices
+        # when more than one exists; 'off' forces single-device; an int pins
+        # the mesh size. Reference has no distributed layer (SURVEY.md §2.3).
+        dp_cfg = cfg["train"].get("data_parallel", "auto")
+        if isinstance(dp_cfg, str):
+            dp_cfg = dp_cfg.strip().lower()
+        if dp_cfg in ("auto", "on", None, True):  # YAML: on -> True
+            want = len(jax.devices())
+        elif dp_cfg in ("off", "none", False):    # YAML: off -> False
+            want = 1
+        else:
+            want = int(dp_cfg)
+        self.mesh = None
+        self.n_shards = 1
+        if want > 1:
+            from ..parallel import data_parallel as dpm
+            self.mesh = dpm.make_mesh(want)
+            self.n_shards = int(self.mesh.devices.size)
+
+        self.data = self.dataset.device_arrays(n_shards=self.n_shards)
+        if self.mesh is not None:
+            from ..parallel import data_parallel as dpm
+            self.data = dpm.shard_data(self.data, self.mesh)
         if not self.data_at_gpu:
             # host data-loader mode: pixels gathered on host per batch
             # (native multithreaded path), only camera metadata on device
@@ -293,34 +390,65 @@ class Trainer:
         self.params, self.consts = init_params(
             k_init, cfg, self.dataset.n_images, max(self.n_volumes, 1))
         self.opt_state = make_optimizer().init(self.params)
+        self._replicate_state()
 
         self.compact_freq = int(cfg["pts_sampler"]["compact_freq"])
         # EMA seeds (GlobalDataPool.h:23-25)
         self.ema_sampled = 512.0
         self.ema_meaningful = 512.0
         self.ema_oct = 16.0
+        # freeze_controller(): stop the batch-size/capacity EMAs so a timing
+        # window sees no bucket switches (no recompiles) — used by bench.py
+        self.controller_frozen = False
         self.psnr_smooth = -1.0
         self.mse_records: list[float] = []
         self._step_cache: dict[tuple, object] = {}
+        self._cap_memo: dict[int, tuple] = {}
         self._pending: list[tuple] = []
         self.pipeline_depth = 3
 
     # ------------------------------------------------------------------ steps
+
+    def _replicate_state(self):
+        """Pin params/opt/consts/tree to the mesh (replicated) so sharded
+        steps see consistent placements. No-op without a mesh."""
+        if self.mesh is None:
+            return
+        from ..parallel import data_parallel as dpm
+        self.params = dpm.replicate(self.params, self.mesh)
+        self.opt_state = dpm.replicate(self.opt_state, self.mesh)
+        self.consts = dpm.replicate(self.consts, self.mesh)
+        self.tree = dpm.replicate(self.tree, self.mesh)
 
     def _caps(self, n_rays: int, max_s: int):
         """EMA-driven flat-buffer capacities: the reference allocates exact
         ragged sizes per step (PersSampler.cu:353-405); with static shapes we
         bucket to the next power of two over the running sample counts, so
         padding waste stays < ~2x while jit caches stay warm."""
-        cap1 = cap_bucket(1.3 * self.ema_sampled * n_rays)
-        cap1 = int(np.clip(cap1, 16384, min(n_rays * max_s, 2 * self.pts_batch)))
-        cap2 = cap_bucket(1.25 * self.ema_meaningful * n_rays)
-        cap2 = int(np.clip(cap2, 16384, min(cap1, self.pts_batch)))
+        lo = max(16384 // self.n_shards, 2048)
+        pts_local = self.pts_batch // self.n_shards
+        hi1 = min(n_rays * max_s, 2 * pts_local)
+        need1 = float(np.clip(1.3 * self.ema_sampled * n_rays, lo, hi1))
+        need2 = float(np.clip(1.25 * self.ema_meaningful * n_rays, lo,
+                              min(hi1, pts_local)))
+        # hysteresis: keep the previous caps while they still fit and waste
+        # < 2x — every fresh (cap1, cap2) pair is a fresh jit key, and a
+        # step compile costs 30-45 s through the TPU tunnel
+        prev = self._cap_memo.get(n_rays)
+        if prev and need1 <= prev[0] <= 2.0 * need1 \
+                and need2 <= prev[1] <= 2.0 * need2:
+            return prev
+        cap1 = int(min(cap_bucket(need1), hi1))
+        cap2 = int(min(cap_bucket(need2), cap1, pts_local))
+        self._cap_memo[n_rays] = (cap1, cap2)
         return cap1, cap2
 
     def _get_step(self, n_rays: int):
-        max_s = max_s_for(n_rays, self.pts_batch)
-        cap1, cap2 = self._caps(n_rays, max_s)
+        """n_rays is the GLOBAL bucket; statics/capacities are built for the
+        per-shard count (identical with no mesh)."""
+        n_local = n_rays // self.n_shards
+        max_s = max_s_for(n_local, self.pts_batch // self.n_shards)
+        cap1, cap2 = self._caps(n_local, max_s)
         # Single-pass rendering trades the prefilter forward pass for a
         # larger backward: on current XLA/TPU the hash-grid scatter-add in
         # the backward costs ~3x a forward query, so the trade only pays
@@ -332,26 +460,34 @@ class Trainer:
             cap2 = cap1
         key = (n_rays, cap1, cap2, single_pass)
         if key not in self._step_cache:
-            st = render_statics(self.cfg, n_rays, self.dataset.near,
+            st = render_statics(self.cfg, n_local, self.dataset.near,
                                 train=True, max_s=max_s, cap1=cap1, cap2=cap2)
             st = st._replace(single_pass=single_pass)
             self._step_cache[key] = (
                 make_train_step(self.cfg, st, self.dataset.height,
-                                self.dataset.width), st)
+                                self.dataset.width, mesh=self.mesh), st)
         return self._step_cache[key]
 
     def cur_batch_size(self) -> int:
         want = self.pts_batch / max(self.ema_meaningful, 1.0)
-        return pick_bucket(want)
+        b = pick_bucket(want)
+        return max(b // self.n_shards, 1) * self.n_shards
+
+    def freeze_controller(self, frozen: bool = True):
+        """Pin the adaptive batch-size/capacity controller: EMAs stop
+        updating, so the bucket (and the jit cache entry) stays fixed."""
+        self.controller_frozen = frozen
 
     def _ingest_aux(self, n_rays: int, aux):
         """Fold one step's (device-side) aux into host EMAs/records."""
         stats = aux["stats"]
-        self.ema_sampled = 0.9 * self.ema_sampled + \
-            0.1 * float(stats["n_sampled"]) / n_rays
-        self.ema_meaningful = 0.9 * self.ema_meaningful + \
-            0.1 * float(stats["n_meaningful"]) / n_rays
-        self.ema_oct = 0.9 * self.ema_oct + 0.1 * float(stats["n_oct_hits"]) / n_rays
+        if not self.controller_frozen:
+            self.ema_sampled = 0.9 * self.ema_sampled + \
+                0.1 * float(stats["n_sampled"]) / n_rays
+            self.ema_meaningful = 0.9 * self.ema_meaningful + \
+                0.1 * float(stats["n_meaningful"]) / n_rays
+            self.ema_oct = 0.9 * self.ema_oct + \
+                0.1 * float(stats["n_oct_hits"]) / n_rays
         mse = float(aux["mse"])
         self.mse_records.append(mse)
         psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
@@ -406,6 +542,9 @@ class Trainer:
         if changed:
             self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                           self.max_trans, self.max_edges)
+            if self.mesh is not None:
+                from ..parallel import data_parallel as dpm
+                self.tree = dpm.replicate(self.tree, self.mesh)
 
     def _host_sample(self, n_rays: int) -> dict:
         """Host-side ray-pixel sampling for data_at_gpu=false: random
@@ -439,6 +578,7 @@ class Trainer:
             k3, int(scfg["d_in"]), int(scfg["d_out"]),
             int(scfg["d_hidden"]), int(scfg["n_hiddens"]))
         self.opt_state = make_optimizer().init(self.params)
+        self._replicate_state()
 
     # ------------------------------------------------------------- checkpoints
 
@@ -447,12 +587,9 @@ class Trainer:
                                f"{self.iter_step:08d}")
         os.makedirs(out_dir, exist_ok=True)
         self.tree_host = dv.sync_host_tree(self.tree_host, self.tree)
-        flat_params = {f"p_{i}": np.asarray(x) for i, x in
-                       enumerate(jax.tree_util.tree_leaves(self.params))}
-        flat_opt = {f"o_{i}": np.asarray(x) for i, x in
-                    enumerate(jax.tree_util.tree_leaves(self.opt_state))}
-        flat_consts = {f"c_{i}": np.asarray(x) for i, x in
-                       enumerate(jax.tree_util.tree_leaves(self.consts))}
+        flat_params = _named_flat(self.params, "p")
+        flat_opt = _named_flat(self.opt_state, "o")
+        flat_consts = _named_flat(self.consts, "c")
         t = self.tree_host
         np.savez(
             os.path.join(out_dir, "state.npz"),
@@ -481,15 +618,9 @@ class Trainer:
         z = np.load(os.path.join(path, "state.npz"))
         self.iter_step = int(z["iter_step"])
         self.ema_sampled, self.ema_meaningful, self.ema_oct = map(float, z["ema"])
-        tdef = jax.tree_util.tree_structure(self.params)
-        self.params = jax.tree_util.tree_unflatten(
-            tdef, [jnp.asarray(z[f"p_{i}"]) for i in range(tdef.num_leaves)])
-        odef = jax.tree_util.tree_structure(self.opt_state)
-        self.opt_state = jax.tree_util.tree_unflatten(
-            odef, [jnp.asarray(z[f"o_{i}"]) for i in range(odef.num_leaves)])
-        cdef = jax.tree_util.tree_structure(self.consts)
-        self.consts = jax.tree_util.tree_unflatten(
-            cdef, [jnp.asarray(z[f"c_{i}"]) for i in range(cdef.num_leaves)])
+        self.params = _named_unflatten(self.params, "p", z)
+        self.opt_state = _named_unflatten(self.opt_state, "o", z)
+        self.consts = _named_unflatten(self.consts, "c", z)
         self.tree_host = oc.OctreeHost(
             center=z["node_center"], side=z["node_side"],
             parent=z["node_parent"], childs=z["node_childs"],
@@ -503,6 +634,7 @@ class Trainer:
         )
         self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                       self.max_trans, self.max_edges)
+        self._replicate_state()
 
     # -------------------------------------------------------------- rendering
 
