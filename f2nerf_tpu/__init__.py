@@ -8,3 +8,29 @@ output layout) while re-designing the compute path for TPU.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: step compiles cost 30-45 s through
+    the TPU tunnel and the adaptive batch controller touches ~a dozen
+    (bucket, capacity) jit keys per run — caching them across processes
+    turns every rerun's compile cost into a disk hit. Opt out with
+    F2_JAX_CACHE=0 or by pre-setting JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("F2_JAX_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # user already configured it
+        path = _os.path.join(_os.path.expanduser("~"), ".cache", "f2nerf_jax")
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
+_enable_compilation_cache()

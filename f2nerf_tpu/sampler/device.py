@@ -461,8 +461,16 @@ def ray_march_parallel(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarra
     step = (dt_warp / pnorm).reshape(R, H)                         # world
     dt_warp = dt_warp.reshape(R, H)
 
+    # Invalid hit slots (>= n_hits) evaluate the warp at the camera origin
+    # through the root's clamped trans and can yield nan/inf pnorm; any
+    # non-finite per-hit value would poison EVERY slot of the ray inside
+    # slot_field (nan * 0-indicator = nan), so zero them before reducing.
+    good = valid_hit & jnp.isfinite(step) & (step > 0)
+    step = jnp.where(good, step, 0.0)
+    dt_warp = jnp.where(good, dt_warp, 0.0)
+
     span = jnp.maximum(hit_far - hit_near, 0.0)
-    n_steps = jnp.where(valid_hit & (step > 0),
+    n_steps = jnp.where(good,
                         jnp.floor(span / jnp.maximum(step, 1e-12)), 0.0)
     n_steps = jnp.minimum(n_steps, float(max_s)).astype(jnp.int32)
 

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .warp import N_PROS, construct_trans, distance_summary
+from .warp import N_PROS, distance_summary, finish_trans_batch, virtual_cams
 
 INIT_NODE_STAT = 1000
 
@@ -149,7 +149,11 @@ def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
     cam_pos = c2w[:, :3, 3].astype(np.float64)
 
     nodes = {k: [] for k in ("center", "side", "parent", "childs", "is_leaf", "trans_idx")}
-    trans_list = []
+    # warp construction is two-phase: the cheap camera-selection half runs
+    # inline (host), the heavy per-point PCA/Jacobian half batches over ALL
+    # leaves on the accelerator at the end (finish_trans_batch) with
+    # on-device random points — no bulk host->device uploads
+    trans_w2xz, trans_center, trans_dis, trans_side = [], [], [], []
 
     def new_node(parent, center, side):
         nodes["center"].append(np.asarray(center, np.float64))
@@ -191,12 +195,18 @@ def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
                 nodes["is_leaf"][u] = True
             else:
                 nodes["is_leaf"][u] = True
-                nodes["trans_idx"][u] = len(trans_list)
-                n_rand = 32 * 32 * 32
-                rand_pts = (rng.random((n_rand, 3)) - 0.5) * side + center
-                trans_list.append(construct_trans(
-                    rand_pts, c2w[visi], intri[0], center, rng))
+                nodes["trans_idx"][u] = len(trans_w2xz)
+                w2xz, d_s = virtual_cams(c2w[visi], intri[0], center, rng)
+                trans_w2xz.append(w2xz)
+                trans_center.append(center)
+                trans_dis.append(d_s)
+                trans_side.append(side)
         frontier = next_frontier
+
+    weights_done = finish_trans_batch(
+        np.asarray(trans_w2xz, np.float32).reshape(-1, N_PROS, 2, 4),
+        centers=np.asarray(trans_center, np.float32).reshape(-1, 3),
+        sides=np.asarray(trans_side, np.float32), seed=seed)
 
     n = len(nodes["center"])
     tree = OctreeHost(
@@ -209,13 +219,13 @@ def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
         weight_stats=np.full(n, INIT_NODE_STAT, np.int32),
         alpha_stats=np.full(n, INIT_NODE_STAT, np.int32),
         visit_cnt=np.zeros(n, np.int32),
-        w2xz=np.stack([t["w2xz"] for t in trans_list]) if trans_list
+        w2xz=np.stack(trans_w2xz).astype(np.float32) if trans_w2xz
         else np.zeros((0, N_PROS, 2, 4), np.float32),
-        weight=np.stack([t["weight"] for t in trans_list]) if trans_list
+        weight=weights_done.astype(np.float32) if len(weights_done)
         else np.zeros((0, 3, N_PROS), np.float32),
-        t_center=np.stack([t["center"] for t in trans_list]) if trans_list
+        t_center=np.stack(trans_center).astype(np.float32) if trans_center
         else np.zeros((0, 3), np.float32),
-        t_dis=np.asarray([t["dis_summary"] for t in trans_list], np.float32),
+        t_dis=np.asarray(trans_dis, np.float32),
         edge_t=np.zeros((0, 2), np.int32),
         edge_center=np.zeros((0, 3), np.float32),
         edge_dir0=np.zeros((0, 3), np.float32),
