@@ -48,17 +48,21 @@ def main():
     tr = Trainer(cfg, tempfile.mkdtemp(prefix="f2bench_exp_"), data_path,
                  seed=2022)
 
-    # settle the adaptive controller (also compiles the active bucket)
-    settle = 12
+    # Train past the init transient so the adaptive controller reaches its
+    # operating bucket (early training has ~5x more samples/ray than the
+    # steady state, so timing iter ~10 underreports by the same factor).
+    # The persistent compile cache keeps the bucket-walk compiles cheap on
+    # reruns. F2_BENCH_SETTLE=12 gives the old quick behavior.
+    settle = int(os.environ.get("F2_BENCH_SETTLE", "250"))
     for i in range(settle):
-        tr.train_one(sync=(i % 4 == 3))
+        tr.train_one(sync=(i % 8 == 7))
     # pin the bucket so the timed window has no recompiles
     tr.freeze_controller()
     m = tr.train_one()
     n_rays = m["n_rays"]
 
     t0 = time.time()
-    K = 40
+    K = 30
     rays = 0
     for i in range(K):
         tr.train_one(sync=False)

@@ -321,3 +321,56 @@ def test_ray_march_parallel_matches_reference_density(tree):
             u = out_node2[r, s]
             j = list(hi[r, :nh[r]]).index(u)
             assert hn[r, j] - 1e-4 <= out_t2[r, s] <= hf[r, j] + 1e-4
+
+
+def test_ray_march_parallel_degenerate_invalid_hits_stay_finite():
+    """Regression: hit slots >= n_hits evaluate the warp at the camera
+    origin through the root's clamped trans; if that warp degenerates
+    (b = 0 there), the resulting nan step must NOT poison the ray's valid
+    samples through slot_field's indicator-multiply reductions."""
+    n = 1
+    w2xz = np.zeros((1, 12, 2, 4), np.float32)
+    w2xz[0, :, 0, :3] = [1.0, 0.0, 0.0]   # a = x
+    w2xz[0, :, 1, :3] = [0.0, 0.0, 1.0]   # b = z  (=> b == 0 at the origin)
+    weight = np.zeros((1, 3, 12), np.float32)
+    weight[0, 0, 0] = 1.0
+    weight[0, 1, 1] = 1.0
+    weight[0, 2, 2] = 1.0
+    host = oc.OctreeHost(
+        center=np.array([[0.0, 0.0, -2.0]], np.float32),
+        side=np.array([1.0], np.float32),
+        parent=np.array([-1], np.int32),
+        childs=np.full((1, 8), -1, np.int32),
+        is_leaf=np.array([True]),
+        trans_idx=np.array([0], np.int32),
+        weight_stats=np.full(n, 1000, np.int32),
+        alpha_stats=np.full(n, 1000, np.int32),
+        visit_cnt=np.zeros(n, np.int32),
+        w2xz=w2xz, weight=weight,
+        t_center=np.array([[0.0, 0.0, -2.0]], np.float32),
+        t_dis=np.array([1.0], np.float32),
+        edge_t=np.zeros((0, 2), np.int32),
+        edge_center=np.zeros((0, 3), np.float32),
+        edge_dir0=np.zeros((0, 3), np.float32),
+        edge_dir1=np.zeros((0, 3), np.float32),
+        side_len=1.0,
+    )
+    dtree = dv.to_device_tree(host, 8, 8, 8)
+    # ray from the origin through the leaf; only 1 valid hit, max_hits=4,
+    # so 3 invalid slots evaluate the degenerate warp at the origin
+    # origin on the b == 0 plane (off the projection center so the valid
+    # hit's Jacobian is nonzero); invalid slots still evaluate nan there
+    o = jnp.asarray([[0.3, 0.0, 0.0]], jnp.float32)
+    dnp = np.array([[-0.05, 0.0, -1.0]], np.float32)
+    d = jnp.asarray(dnp / np.linalg.norm(dnp))
+    hit_idx, hit_near, hit_far, n_hits, _ = dv.traverse(
+        dtree, o, d, jnp.asarray([0.01]), jnp.asarray([1e8]), max_hits=4)
+    assert int(n_hits[0]) == 1
+    max_s = 64
+    out_t, out_dt, out_node, n_s, _ = dv.ray_march_parallel(
+        dtree, o, d, hit_idx, hit_near, hit_far, n_hits,
+        jnp.ones((1, max_s)), jnp.asarray(1.0), 1.0 / 16, False, max_s)
+    out_t, out_dt, n_s = map(np.asarray, (out_t, out_dt, n_s))
+    assert n_s[0] > 0
+    assert np.isfinite(out_t).all() and np.isfinite(out_dt).all()
+    np.testing.assert_allclose(out_dt[0, : n_s[0]], 1.0 / 16, rtol=1e-4)

@@ -88,10 +88,17 @@ def trainer(tmp_path_factory):
 def test_training_reduces_loss(trainer):
     start = trainer.iter_step
     losses = []
-    for _ in range(60):
+    for i in range(60):
         m = trainer.train_one()
         losses.append(m["mse"])
         assert np.isfinite(m["loss"]), m
+        if i == 0:
+            # at init sigma is ~e^-3 everywhere, so transmittance decays
+            # slowly and the prefilter must keep nearly every sample; a
+            # collapsed ratio here means samples are being culled by a
+            # geometry/NaN bug, not by learned density (the failure mode a
+            # bare loss-drop assertion missed)
+            assert m["n_meaningful"] > 0.8 * m["n_sampled"], m
     assert trainer.iter_step == start + 60
     assert np.mean(losses[-10:]) < 0.85 * np.mean(losses[:10]), losses
 
