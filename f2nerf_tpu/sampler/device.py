@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .octree import OctreeHost
+from .octree import OctreeHost, build_ropes
 from .warp import N_PROS
 
 # occupancy constants (reference PersSampler.cu:11-17)
@@ -54,6 +54,7 @@ class DeviceTree(NamedTuple):
     parent: jnp.ndarray      # [N] i32 (-1 at root)
     is_leaf: jnp.ndarray     # [N] bool
     trans_idx: jnp.ndarray   # [N] i32 (mutated by occupancy culling)
+    rope: jnp.ndarray        # [N, 6] i32 face neighbors (leaves; -1 = border)
     weight_stats: jnp.ndarray  # [N] i32
     alpha_stats: jnp.ndarray   # [N] i32
     visit_cnt: jnp.ndarray     # [N] i32
@@ -90,6 +91,7 @@ def to_device_tree(tree: OctreeHost, max_nodes: int, max_trans: int,
         parent=jnp.asarray(_pad(tree.parent, max_nodes, -1)),
         is_leaf=jnp.asarray(_pad(tree.is_leaf.astype(np.int8), max_nodes, 1) > 0),
         trans_idx=jnp.asarray(_pad(tree.trans_idx, max_nodes, -1)),
+        rope=jnp.asarray(_pad(build_ropes(tree), max_nodes, -1)),
         weight_stats=jnp.asarray(_pad(tree.weight_stats, max_nodes)),
         alpha_stats=jnp.asarray(_pad(tree.alpha_stats, max_nodes)),
         visit_cnt=jnp.asarray(_pad(tree.visit_cnt, max_nodes)),
@@ -186,12 +188,20 @@ def warp_jac_dir(w2xz_rows, weight_rows, pts, dirs):
 def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
              near: jnp.ndarray, far: jnp.ndarray,
              max_hits: int, max_iters: int = 4096):
-    """Ordered leaf intersections per ray via restart traversal.
+    """Ordered leaf intersections per ray via rope traversal.
 
     Returns (hit_idx [R, H] i32, hit_near [R, H], hit_far [R, H],
     n_hits [R] i32, trunc [R] bool). Replaces FindRayOctreeIntersectionKernel
     (PersSampler.cu:53-152); ordering along the ray is identical to the
     reference's direction-ordered DFS because leaf cells are disjoint.
+
+    Lockstep loop: internal nodes point-locate one level down per
+    iteration; on leaf exit the ray follows the precomputed face-neighbor
+    rope (build_ropes) to the adjacent same-or-coarser node in ONE step
+    instead of restarting from the root (~tree-depth gathers per leaf, the
+    round-1 scheme — rope traversal cut the loop's iteration count ~3x).
+    Corner exits that land in a diagonal neighbor fail the containment
+    check and bounce to a root restart (rare, costs one extra descent).
 
     trunc marks rays whose traversal was cut short — the hit buffer filled
     (cnt hit max_hits) or the lockstep loop hit max_iters — i.e. hits may
@@ -232,12 +242,16 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         leaf_u = tree.is_leaf[u]
         tr_u = tree.trans_idx[u]
 
+        # rope/skip targets may not contain p (corner exits into a diagonal
+        # neighbor): bounce to a root restart with t unchanged
+        outside_u = (jnp.abs(p - c_u).max(axis=-1) > s_u * 0.5) & (u != 0)
 
-        # ---- leaf: emit (if valid) and restart past its exit
+        # ---- leaf: emit (if valid) and follow the exit-face rope
         n_l, f_l = _slab(c_u, s_u, rays_o, rays_d)
         n_l = jnp.maximum(n_l, near)
         f_l = jnp.minimum(f_l, far)
-        emit = (~done) & leaf_u & (tr_u >= 0) & (n_l < f_l) & (cnt < max_hits)
+        emit = (~done) & (~outside_u) & leaf_u & (tr_u >= 0) & (n_l < f_l) \
+            & (cnt < max_hits)
         rows = jnp.arange(R)
         slot = jnp.minimum(cnt, max_hits - 1)
         hit_idx = s["hit_idx"].at[rows, slot].set(
@@ -248,6 +262,14 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
             jnp.where(emit, f_l, s["hit_far"][rows, slot]))
         cnt = cnt + emit.astype(jnp.int32)
 
+        # exit face = the axis whose outgoing slab plane realizes f_l
+        safe_d = jnp.where(jnp.abs(rays_d) < 1e-6, 1.0, rays_d)
+        t_ax = (c_u + jnp.sign(safe_d) * s_u[:, None] * 0.5 - rays_o) / safe_d
+        t_ax = jnp.where(jnp.abs(rays_d) < 1e-6, 1e9, t_ax)
+        face_ax = jnp.argmin(t_ax, axis=-1)
+        face = face_ax * 2 + (jnp.take_along_axis(
+            rays_d, face_ax[:, None], axis=-1)[:, 0] > 0).astype(jnp.int32)
+        rope_u = tree.rope[u, face]
         leaf_t = jnp.maximum(f_l, t)
         leaf_eps = jnp.maximum(s_u * 1e-4, eps0)
 
@@ -271,21 +293,25 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         skip_eps = jnp.maximum(
             jnp.where(hit_ahead, c_side, oct_side) * 1e-4, eps0)
 
-        # ---- merge branches (restart-from-root after leaf exits / skips;
-        # an up-walk variant livelocked on deep real-scene trees)
-        new_t = jnp.where(done, t,
+        # ---- merge branches. Leaves exit along their rope (-1 = left the
+        # domain); empty-octant skips relocate from u itself (the skip point
+        # usually stays inside u; the containment check above catches the
+        # rest). An unconditional up-walk variant livelocked on deep trees.
+        new_t = jnp.where(done | outside_u, t,
                           jnp.where(leaf_u, leaf_t,
                                     jnp.where(inside_c, t, skip_t)))
         new_u = jnp.where(done, u,
-                          jnp.where(leaf_u, 0,
-                                    jnp.where(inside_c, c, 0)))
-        new_eps = jnp.where(done | inside_c, eps,
+                          jnp.where(outside_u, 0,
+                                    jnp.where(leaf_u, jnp.maximum(rope_u, 0),
+                                              jnp.where(inside_c, c, u))))
+        new_eps = jnp.where(done | outside_u | inside_c, eps,
                             jnp.where(leaf_u, leaf_eps, skip_eps))
-        reached_end = ~inside_c & ((new_t + new_eps) >= t_end)
+        rope_end = (~done) & (~outside_u) & leaf_u & (rope_u < 0)
+        reached_end = ~inside_c & ~outside_u & ((new_t + new_eps) >= t_end)
         cap_hit = cnt >= max_hits
-        new_done = done | reached_end | cap_hit
+        new_done = done | rope_end | reached_end | cap_hit
         # buffer filled with ray not at its exit: hits beyond this are lost
-        trunc = s["trunc"] | (~done & cap_hit & ~reached_end)
+        trunc = s["trunc"] | (~done & cap_hit & ~reached_end & ~rope_end)
 
         return dict(t=new_t, u=new_u, cnt=cnt, done=new_done, eps=new_eps,
                     trunc=trunc, hit_idx=hit_idx, hit_near=hit_near,

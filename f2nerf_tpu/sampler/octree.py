@@ -239,6 +239,53 @@ def build_octree(c2w: np.ndarray, w2c: np.ndarray, intri: np.ndarray,
     return tree
 
 
+def build_ropes(tree: OctreeHost) -> np.ndarray:
+    """Per-node face-neighbor links ("ropes", cf. kd-tree rope traversal):
+    ropes[u, face] = the same-or-coarser node adjacent to leaf u across
+    `face` (axis*2 + (1 if +axis else 0)), or -1 at the domain boundary.
+
+    The device traversal follows a rope on leaf exit and point-locates
+    downward inside the target, replacing the reference's per-ray DFS stack
+    (PersSampler.cu:53-152) and the round-1 root-restart scheme (~depth
+    gathers per leaf) with ~1 gather per leaf plus occasional descents.
+    Derived data: rebuilt on every host->device upload, never serialized."""
+    n = tree.n_nodes
+    ropes = np.full((n, 6), -1, np.int32)
+    leaves = np.nonzero(tree.is_leaf[:n])[0]
+    if len(leaves) == 0:
+        return ropes
+    centers = tree.center[leaves].astype(np.float64)
+    sides = tree.side[leaves].astype(np.float64)
+    # 6 probe points just across each face center
+    offs = np.zeros((6, 3))
+    for ax in range(3):
+        offs[2 * ax, ax] = -1.0
+        offs[2 * ax + 1, ax] = 1.0
+    probes = (centers[:, None, :]
+              + offs[None] * (sides * 0.5 * (1.0 + 1e-4))[:, None, None])
+    probes = probes.reshape(-1, 3)                     # [L*6, 3]
+    tgt_side = np.repeat(sides, 6)                     # [L*6]
+
+    half_root = tree.side[0] * 0.5 * (1.0 + 1e-9)
+    inside_root = (np.abs(probes - tree.center[0]).max(axis=1) <= half_root)
+    u = np.zeros(len(probes), np.int64)
+    # descend while strictly coarser than the leaf and not itself a leaf
+    for _ in range(64):
+        can = (~tree.is_leaf[u]) & (tree.side[u] > tgt_side * 1.5)
+        if not can.any():
+            break
+        ge = (probes >= tree.center[u]).astype(np.int64)
+        st = (ge[:, 0] << 2) | (ge[:, 1] << 1) | ge[:, 2]
+        c = tree.childs[u, st]
+        step = can & (c >= 0)
+        u = np.where(step, c, u)
+        if not step.any():
+            break
+    u = np.where(inside_root, u, -1)
+    ropes[leaves] = u.reshape(-1, 6).astype(np.int32)
+    return ropes
+
+
 def construct_edge_pool(tree: OctreeHost) -> None:
     """Leaf-face adjacency pool for TV-loss edge sampling
     (ConstructEdgePool, PersSampler.cpp:614-659)."""
