@@ -656,7 +656,7 @@ class Trainer:
         return self._eval_fns[key]
 
     def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
-                     chunk: int = 4096, max_s: int = 256, max_s_hi: int = 1024):
+                     chunk: int = 4096, max_s: int = 512, max_s_hi: int = 1024):
         """Chunked no-grad whole-image render. Returns (colors, disparity,
         first_oct_disp) as numpy [n_rays, ...].
 
