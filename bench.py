@@ -54,21 +54,20 @@ def main():
     # The persistent compile cache keeps the bucket-walk compiles cheap on
     # reruns. F2_BENCH_SETTLE=12 gives the old quick behavior.
     settle = int(os.environ.get("F2_BENCH_SETTLE", "250"))
-    for i in range(settle):
-        tr.train_one(sync=(i % 8 == 7))
+    while tr.iter_step < settle:
+        tr.train_auto(sync=(tr.iter_step % 64 == 56))
     # pin the bucket so the timed window has no recompiles
     tr.freeze_controller()
-    m = tr.train_one()
+    m = tr.train_auto()
     n_rays = m["n_rays"]
 
+    it0 = tr.iter_step
     t0 = time.time()
-    K = 30
-    rays = 0
-    for i in range(K):
-        tr.train_one(sync=False)
-        rays += n_rays
-    m = tr.train_one()
-    rays += n_rays
+    K = 40
+    while tr.iter_step < it0 + K:
+        tr.train_auto(sync=False)
+    tr.train_auto(sync=True)
+    rays = (tr.iter_step - it0) * n_rays
     dt = time.time() - t0
     rays_per_sec = rays / dt
 

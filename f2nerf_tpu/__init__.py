@@ -23,7 +23,9 @@ def _enable_compilation_cache():
     try:
         import jax
         if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-            return  # user already configured it
+            return  # user already configured it via env
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # embedding app already configured it programmatically
         path = _os.path.join(_os.path.expanduser("~"), ".cache", "f2nerf_jax")
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

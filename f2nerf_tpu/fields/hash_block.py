@@ -35,8 +35,9 @@ the same count of distinct cells — a bandwidth-for-capacity trade that is
 free in HBM). Unlike the reference grid, corner values on block faces are
 duplicated rather than shared, so the field may be slightly discontinuous
 across block boundaries at each level; block phases differ per level, and
-training drives both copies to consistency (validated by the fox PSNR
-regression test).
+training drives both copies to consistency (quality evidence: fox CLI runs
+in BENCHMARKS.md and the threshold-gated fox crop regression test in
+tests/test_fox_regression.py).
 """
 
 from __future__ import annotations
@@ -158,7 +159,11 @@ def _encode_fwd_impl(feat_tables, prim_pool, bias_pool, points01, vol_idx,
     def level(carry, inp):
         table, scale, p3, b3 = inp
         h, cs, xs = _level_rows_weights(scale, p3, b3, points01)
-        row = jnp.take(table, (h & mask).astype(jnp.int32), axis=0)
+        # barrier: keep XLA from fusing (and re-executing) the row gather
+        # into its consumers (same pathology as the warp-table gathers,
+        # benchmarks/probe_compact_warp.py)
+        row = jax.lax.optimization_barrier(
+            jnp.take(table, (h & mask).astype(jnp.int32), axis=0))
         w = _lane_weights(cs, xs)
         f2 = jnp.dot(row * w, _CH_MAT, preferred_element_type=jnp.float32)
         return carry, f2

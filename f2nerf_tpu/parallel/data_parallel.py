@@ -49,6 +49,45 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def make_global_mesh() -> Mesh:
+    """Multi-host data mesh over ALL global devices (every process's local
+    devices, in process order — `jax.devices()` is globally consistent after
+    `init_distributed`). The mesh axis simply spans DCN."""
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def process_camera_slice(n_images: int) -> slice:
+    """The contiguous camera range THIS process loads from disk (per-process
+    data loading: each host reads only its own cameras; the device mesh then
+    shards those over its local devices). Matches the padded round-robin
+    layout of `Dataset.device_arrays(n_shards=global)`."""
+    n_proc = jax.process_count()
+    per = -(-n_images // n_proc)
+    lo = jax.process_index() * per
+    return slice(lo, min(lo + per, n_images))
+
+
+def shard_data_multihost(local_data: dict, mesh: Mesh,
+                         sharded_keys=("train_images", "train_ids")) -> dict:
+    """Assemble globally-sharded arrays from process-LOCAL shards.
+
+    `local_data[k]` for sharded keys holds only this process's camera rows
+    (1/process_count of the global leading dim); other keys are replicated
+    from identical host copies. Uses `jax.make_array_from_process_local_data`
+    so no host ever materializes the full image pool — the multi-host
+    data-loading story (SURVEY.md §2.3 DCN design)."""
+    out = {}
+    for k, v in local_data.items():
+        if k in sharded_keys:
+            v = np.asarray(v)
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data")), v, global_shape)
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out
+
+
 def shard_data(data: dict, mesh: Mesh) -> dict:
     """Place the dataset dict: image pool sharded over cameras, metadata
     replicated."""

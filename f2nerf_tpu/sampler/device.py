@@ -55,6 +55,12 @@ class DeviceTree(NamedTuple):
     is_leaf: jnp.ndarray     # [N] bool
     trans_idx: jnp.ndarray   # [N] i32 (mutated by occupancy culling)
     rope: jnp.ndarray        # [N, 6] i32 face neighbors (leaves; -1 = border)
+    # packed per-node traversal row [N, 64] f32 (see PACK_* lane map): the
+    # while_loop body fetches ALL node state in ONE 64-lane row gather
+    # (~300 M rows/s measured) instead of ~8 scattered gathers per
+    # iteration. Node ids < 2^24 are exact in f32. Lane 5 mirrors
+    # trans_idx and is refreshed by apply_occupancy_adders.
+    pack: jnp.ndarray        # [N, 64] f32
     weight_stats: jnp.ndarray  # [N] i32
     alpha_stats: jnp.ndarray   # [N] i32
     visit_cnt: jnp.ndarray     # [N] i32
@@ -79,11 +85,38 @@ def _pad(x: np.ndarray, n: int, fill=0):
     return out
 
 
+# pack lane map (traversal row): 0:3 center, 3 side, 4 is_leaf, 5 trans_idx,
+# 6:12 rope, 12:20 child idx, 20:44 child centers (20+3*st+ax), 44:52 child
+# sides, 52:64 zero padding (a 64-lane row costs the same gather as 52)
+PACK_W = 64
+
+
+def _pack_nodes(tree: OctreeHost, ropes: np.ndarray, max_nodes: int) -> np.ndarray:
+    n = tree.n_nodes
+    pack = np.zeros((max_nodes, PACK_W), np.float32)
+    pack[:, 4] = 1.0   # padding reads as an invalid leaf
+    pack[:, 5] = -1.0
+    pack[:, 6:20] = -1.0
+    pk = pack[:n]
+    pk[:, 0:3] = tree.center
+    pk[:, 3] = tree.side
+    pk[:, 4] = tree.is_leaf.astype(np.float32)
+    pk[:, 5] = tree.trans_idx
+    pk[:, 6:12] = ropes[:n]
+    ch = tree.childs[:n]
+    pk[:, 12:20] = ch
+    chc = np.maximum(ch, 0)
+    pk[:, 20:44] = tree.center[chc].reshape(n, 24)
+    pk[:, 44:52] = tree.side[chc]
+    return pack
+
+
 def to_device_tree(tree: OctreeHost, max_nodes: int, max_trans: int,
                    max_edges: int) -> DeviceTree:
     assert tree.n_nodes <= max_nodes, (tree.n_nodes, max_nodes)
     assert tree.n_trans <= max_trans, (tree.n_trans, max_trans)
     assert tree.edge_t.shape[0] <= max_edges, (tree.edge_t.shape[0], max_edges)
+    ropes = _pad(build_ropes(tree), max_nodes, -1)
     return DeviceTree(
         center=jnp.asarray(_pad(tree.center, max_nodes)),
         side=jnp.asarray(_pad(tree.side, max_nodes)),
@@ -91,7 +124,8 @@ def to_device_tree(tree: OctreeHost, max_nodes: int, max_trans: int,
         parent=jnp.asarray(_pad(tree.parent, max_nodes, -1)),
         is_leaf=jnp.asarray(_pad(tree.is_leaf.astype(np.int8), max_nodes, 1) > 0),
         trans_idx=jnp.asarray(_pad(tree.trans_idx, max_nodes, -1)),
-        rope=jnp.asarray(_pad(build_ropes(tree), max_nodes, -1)),
+        rope=jnp.asarray(ropes),
+        pack=jnp.asarray(_pack_nodes(tree, ropes, max_nodes)),
         weight_stats=jnp.asarray(_pad(tree.weight_stats, max_nodes)),
         alpha_stats=jnp.asarray(_pad(tree.alpha_stats, max_nodes)),
         visit_cnt=jnp.asarray(_pad(tree.visit_cnt, max_nodes)),
@@ -145,12 +179,22 @@ def _rows(mat_t):
     return [mat_t[i] for i in range(mat_t.shape[0])]
 
 
+def _warp_rows(tree: DeviceTree, trans_idx: jnp.ndarray):
+    """Gather + transpose the warp tables for per-point indices, with an
+    optimization barrier between the gather and its ~130 elementwise
+    consumers. Without the barrier XLA fuses the gather INTO each consumer
+    and re-executes it per op — measured 46.7 ms vs 9.2 ms for the same
+    apply_warp at 393k points (benchmarks/probe_compact_warp.py)."""
+    m = jax.lax.optimization_barrier(tree.w2xz[trans_idx].T)   # [96, n]
+    w = jax.lax.optimization_barrier(tree.weight[trans_idx].T)  # [36, n]
+    return _rows(m), _rows(w)
+
+
 def apply_warp(tree: DeviceTree, trans_idx: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Warp world points [n, 3] through per-point leaf warps
     (QueryFrameTransform, PersSampler.cu:155-168). All math on flat [n]
     vectors (see the DeviceTree layout note)."""
-    m = _rows(tree.w2xz[trans_idx].T)     # 96 x [n]
-    w = _rows(tree.weight[trans_idx].T)   # 36 x [n]
+    m, w = _warp_rows(tree, trans_idx)
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     out = [0.0, 0.0, 0.0]
     for k in range(N_PROS):
@@ -233,14 +277,23 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     def cond(s):
         return jnp.logical_and(jnp.any(~s["done"]), s["it"] < max_iters)
 
+    ox, oy, oz = rays_o[:, 0], rays_o[:, 1], rays_o[:, 2]
+    dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
+
     def body(s):
         t, u, cnt, done, eps = s["t"], s["u"], s["cnt"], s["done"], s["eps"]
         p = rays_o + rays_d * (t + eps)[:, None]
 
-        c_u = tree.center[u]
-        s_u = tree.side[u]
-        leaf_u = tree.is_leaf[u]
-        tr_u = tree.trans_idx[u]
+        # ONE packed row gather per iteration (see PACK_W lane map), then a
+        # transpose so every lane becomes a cheap [R] sublane slice — the
+        # previous body issued ~8 separate gathers (center/side/leaf/trans/
+        # rope/child/child-center/child-side), each billed at the same
+        # per-row cost as this single one.
+        row = jax.lax.optimization_barrier(tree.pack[u].T)   # [64, R]
+        c_u = jnp.stack([row[0], row[1], row[2]], axis=-1)
+        s_u = row[3]
+        leaf_u = row[4] > 0.5
+        tr_u = row[5]
 
         # rope/skip targets may not contain p (corner exits into a diagonal
         # neighbor): bounce to a root restart with t unchanged
@@ -269,17 +322,26 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         face_ax = jnp.argmin(t_ax, axis=-1)
         face = face_ax * 2 + (jnp.take_along_axis(
             rays_d, face_ax[:, None], axis=-1)[:, 0] > 0).astype(jnp.int32)
-        rope_u = tree.rope[u, face]
+        # dynamic-lane picks are indicator sums over the 6 static rope lanes
+        # (take_along_axis-style lane gathers serialize on TPU)
+        rope_u = sum(jnp.where(face == f, row[6 + f], 0.0)
+                     for f in range(6)).astype(jnp.int32)
         leaf_t = jnp.maximum(f_l, t)
         leaf_eps = jnp.maximum(s_u * 1e-4, eps0)
 
         # ---- internal: descend or skip empty region
-        ge = (p >= c_u).astype(jnp.int32)
-        st = (ge[:, 0] << 2) | (ge[:, 1] << 1) | ge[:, 2]
-        c = tree.child[u, st]
-        c_safe = jnp.maximum(c, 0)
-        c_center = tree.center[c_safe]
-        c_side = tree.side[c_safe]
+        gex = (p[:, 0] >= row[0]).astype(jnp.int32)
+        gey = (p[:, 1] >= row[1]).astype(jnp.int32)
+        gez = (p[:, 2] >= row[2]).astype(jnp.int32)
+        ge = jnp.stack([gex, gey, gez], axis=-1)
+        st = (gex << 2) | (gey << 1) | gez
+        sel = [st == k for k in range(8)]
+        c_f = sum(jnp.where(sel[k], row[12 + k], 0.0) for k in range(8))
+        c = c_f.astype(jnp.int32)
+        c_center = jnp.stack(
+            [sum(jnp.where(sel[k], row[20 + 3 * k + ax], 0.0)
+                 for k in range(8)) for ax in range(3)], axis=-1)
+        c_side = sum(jnp.where(sel[k], row[44 + k], 0.0) for k in range(8))
         inside_c = (c >= 0) & \
             (jnp.abs(p - c_center).max(axis=-1) <= c_side * 0.5)
 
@@ -377,8 +439,8 @@ def ray_march(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # ---------- EMIT branch: evaluate warp Jacobian, maybe emit sample
         tr = jnp.maximum(tree.trans_idx[jnp.maximum(node, 0)], 0)
         xyz = rays_o + rays_d * t[:, None]
-        pnorm = warp_jac_dir(_rows(tree.w2xz[tr].T), _rows(tree.weight[tr].T),
-                             xyz, rays_d) + 1e-6
+        m_rows, w_rows = _warp_rows(tree, tr)
+        pnorm = warp_jac_dir(m_rows, w_rows, xyz, rays_d) + 1e-6
         radius = jnp.linalg.norm(rays_o - tree.t_center[tr], axis=-1) / tree.t_dis[tr]
         radius_clip = jnp.maximum(radius, 1.0)
         step_noise = noise[rows + n_out]
@@ -477,8 +539,8 @@ def ray_march_parallel(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarra
     o_rep = jnp.repeat(rays_o, H, axis=0)
     d_rep = jnp.repeat(rays_d, H, axis=0)
     xyz = o_rep + d_rep * hit_near.reshape(-1)[:, None]
-    pnorm = warp_jac_dir(_rows(tree.w2xz[tr].T), _rows(tree.weight[tr].T),
-                         xyz, d_rep) + 1e-6                        # [R*H]
+    m_rows, w_rows = _warp_rows(tree, tr)
+    pnorm = warp_jac_dir(m_rows, w_rows, xyz, d_rep) + 1e-6        # [R*H]
     dt_warp = sample_l * fineness * jnp.ones_like(pnorm)
     if scale_by_dis:
         radius = jnp.linalg.norm(o_rep - tree.t_center[tr], axis=-1) / \
@@ -528,7 +590,12 @@ def ray_march_parallel(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarra
     out_t = jnp.where(valid_s, out_t, 0.0)
     out_dt = jnp.where(valid_s, dt_s, 0.0)
     out_node = jnp.where(valid_s, node_s.astype(jnp.int32), -1)
-    return out_t, out_dt, out_node, n_samples, first_oct
+    # barrier: the slot_field indicator-reductions must materialize HERE —
+    # otherwise XLA fuses them into the downstream compaction gathers and
+    # re-executes the [R, H, S] reduction once per consumer (the
+    # compactA+warp phase measured 80 ms instead of ~25 ms without this)
+    return jax.lax.optimization_barrier(
+        (out_t, out_dt, out_node, n_samples, first_oct))
 
 
 # --------------------------------------------------------------- edge samples
@@ -620,9 +687,11 @@ def apply_occupancy_adders(tree: DeviceTree, occ: dict) -> DeviceTree:
 
     trans_idx = jnp.where((wstats < 0) | (astats < 0), -1, tree.trans_idx)
     visit_cnt = jnp.maximum(tree.visit_cnt, occ["visit_max"])
+    # mirror culling into the packed traversal row (lane 5 = trans_idx)
+    pack = tree.pack.at[:, 5].set(trans_idx.astype(jnp.float32))
 
     return tree._replace(weight_stats=wstats, alpha_stats=astats,
-                         visit_cnt=visit_cnt, trans_idx=trans_idx)
+                         visit_cnt=visit_cnt, trans_idx=trans_idx, pack=pack)
 
 
 def update_occupancy(tree: DeviceTree, node_idx: jnp.ndarray,

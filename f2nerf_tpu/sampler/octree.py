@@ -288,7 +288,19 @@ def build_ropes(tree: OctreeHost) -> np.ndarray:
 
 def construct_edge_pool(tree: OctreeHost) -> None:
     """Leaf-face adjacency pool for TV-loss edge sampling
-    (ConstructEdgePool, PersSampler.cpp:614-659)."""
+    (ConstructEdgePool, PersSampler.cpp:614-659).
+
+    Dispatches to the native C++ engine (native/octree_ops.cpp:f2_edge_pool)
+    when available — the O(V^2 * 6) pair sweep over thousands of valid
+    leaves costs seconds in C++ vs minutes in the numpy loop below. Set
+    F2_NATIVE=0 to force the numpy reference implementation."""
+    if os.environ.get("F2_NATIVE", "1") != "0":
+        from .. import native
+        try:
+            if native.edge_pool(tree):
+                return
+        except RuntimeError:
+            pass  # overflow: fall through to the (equivalent) numpy path
     valid = np.nonzero(tree.trans_idx >= 0)[0]
     et, ec, e0, e1 = [], [], [], []
     centers = tree.center.astype(np.float64)

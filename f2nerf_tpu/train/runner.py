@@ -77,16 +77,25 @@ class Runner:
         # the reference's #ifdef PROFILE ScopeWatch instrumentation)
         prof_dir = os.environ.get("F2_JAX_PROFILE")
         prof_window = (30, 50) if prof_dir else None
+        freqs = [self.report_freq, self.vis_freq, self.stats_freq,
+                 self.save_freq]
         while tr.iter_step < self.end_iter:
-            if prof_window and tr.iter_step == prof_window[0]:
+            if prof_window and prof_window[0] is not None \
+                    and tr.iter_step >= prof_window[0]:
                 import jax
                 jax.profiler.start_trace(prof_dir)
-            if prof_window and tr.iter_step == prof_window[1]:
+                prof_window = (None, prof_window[1])
+            if prof_window and prof_window[0] is None \
+                    and tr.iter_step >= prof_window[1]:
                 import jax
                 jax.profiler.stop_trace()
                 prof_window = None
-            sync = (tr.iter_step + 1) % self.report_freq == 0
-            m = tr.train_one(sync=sync)
+            s = tr.iter_step
+            # distance to the next report/vis/stats/save cadence bounds the
+            # fused chunk so `step % freq` checks still land exactly
+            nb = min([(s // f + 1) * f for f in freqs] + [self.end_iter])
+            limit = nb - s
+            m = tr.train_auto(sync=limit <= tr.chunk_size, limit=limit)
             step = tr.iter_step
             if step % self.stats_freq == 0:
                 np.save(os.path.join(self.base_exp_dir, "stats.npy"),
@@ -100,11 +109,13 @@ class Runner:
             if m and step % self.report_freq == 0:
                 ips = self.report_freq / max(time.time() - t_report, 1e-6)
                 t_report = time.time()
+                trunc = (f" TravTrunc: {tr.trunc_ema:.2f}"
+                         if tr.trunc_ema > 0.005 else "")
                 print(f"Iter: {step:>6d} PSNR: {tr.psnr_smooth:.2f} "
                       f"NRays: {m['n_rays']:>5d} OctSamples: {tr.ema_oct:.1f} "
                       f"Samples: {tr.ema_sampled:.1f} "
                       f"MeaningfulSamples: {tr.ema_meaningful:.1f} "
-                      f"IPS: {ips:.2f}", flush=True)
+                      f"IPS: {ips:.2f}{trunc}", flush=True)
         with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
             f.write(f"{time.time() - t_start}\n")
         print("Train done, test.", flush=True)

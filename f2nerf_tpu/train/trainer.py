@@ -125,7 +125,8 @@ def cap_bucket(x: float) -> int:
 
 def render_statics(cfg: dict, n_rays: int, global_near: float,
                    train: bool, max_s: int | None = None,
-                   cap1: int | None = None, cap2: int | None = None) -> RenderStatics:
+                   cap1: int | None = None, cap2: int | None = None,
+                   max_hits: int | None = None) -> RenderStatics:
     t, p, r, f, s = (cfg["train"], cfg["pts_sampler"], cfg["renderer"],
                      cfg["field"], cfg["shader"])
     pts_batch = int(t["pts_batch_size"])
@@ -135,8 +136,14 @@ def render_statics(cfg: dict, n_rays: int, global_near: float,
         cap1 = min(n_rays * max_s, 2 * pts_batch)
     if cap2 is None:
         cap2 = min(cap1, pts_batch)
+    if max_hits is None:
+        # starting bucket; the Trainer grows it from the oct-hits EMA and on
+        # observed truncation up to the configured bound (the reference
+        # allocates MAX_OCT_INTERSECT_PER_RAY=1024 up front and CHECK-crashes
+        # on overflow, PersSampler.cu:8-9,330-337 — here capacity adapts)
+        max_hits = min(int(p["max_oct_intersect_per_ray"]), 64)
     return RenderStatics(
-        max_hits=min(int(p["max_oct_intersect_per_ray"]), 64),
+        max_hits=max_hits,
         max_s=max_s,
         cap1=cap1,
         cap2=cap2,
@@ -174,18 +181,12 @@ def compute_losses(result: dict, gt: jnp.ndarray, n_rays: int,
                       tv_loss=tv_loss, var_loss=var_loss, mse=mse)
 
 
-def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
-                    mesh=None):
-    """Build the jitted train step for one ray-batch bucket.
-
-    With ``mesh`` (a 1-D 'data' jax.sharding.Mesh) the SAME step body runs
-    SPMD under shard_map: each shard samples rays from its own camera shard
-    (key folded with the shard index), gradients are pmean'd over ICI,
-    occupancy votes pmax'd, loss scalars pmean'd and count stats psum'd.
-    ``n_rays`` is always the GLOBAL ray count; ``statics`` must be built for
-    the per-shard count (n_rays // mesh size). The reference has no
-    distributed layer (SURVEY.md §2.3) — this is the framework's own design.
-    """
+def make_core(cfg: dict, statics: RenderStatics, height: int, width: int,
+              mesh=None):
+    """The per-iteration step body shared by the single-step, chunked-scan,
+    and SPMD paths: render -> losses -> grads -> (pmean) -> NaN-guarded
+    Adam -> occupancy fold. Returns core(params, opt_state, tree, consts,
+    data, key, runtime, host_batch, n_local)."""
     tcfg = cfg["train"]
     loss_w = dict(disp_loss_weight=float(tcfg["disp_loss_weight"]),
                   tv_loss_weight=float(tcfg["tv_loss_weight"]))
@@ -195,7 +196,6 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
     # under a mesh, single_image picks one camera PER SHARD (a batch then
     # mixes n_shards images — the per-shard semantics stay the reference's)
     sampler = ds.sample_rays_single_image if single_image else ds.sample_rays
-    n_shards = 1 if mesh is None else int(mesh.devices.size)
 
     def core(params, opt_state, tree, consts, data, key, runtime,
              host_batch, n_local):
@@ -252,6 +252,24 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
         aux["grads_finite"] = finite
         return new_params, new_opt_state, new_tree, aux
 
+    return core
+
+
+def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
+                    mesh=None):
+    """Build the jitted train step for one ray-batch bucket.
+
+    With ``mesh`` (a 1-D 'data' jax.sharding.Mesh) the SAME step body runs
+    SPMD under shard_map: each shard samples rays from its own camera shard
+    (key folded with the shard index), gradients are pmean'd over ICI,
+    occupancy votes pmax'd, loss scalars pmean'd and count stats psum'd.
+    ``n_rays`` is always the GLOBAL ray count; ``statics`` must be built for
+    the per-shard count (n_rays // mesh size). The reference has no
+    distributed layer (SURVEY.md §2.3) — this is the framework's own design.
+    """
+    core = make_core(cfg, statics, height, width, mesh=mesh)
+    n_shards = 1 if mesh is None else int(mesh.devices.size)
+
     if mesh is None:
         @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
         def step(params, opt_state, tree, consts, data, key, runtime, n_rays,
@@ -280,6 +298,63 @@ def make_train_step(cfg: dict, statics: RenderStatics, height: int, width: int,
         sm = shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(), P(), P(), P()), check_vma=False)
         return sm(*args)
+
+    return step
+
+
+def make_train_chunk(cfg: dict, statics: RenderStatics, height: int,
+                     width: int, chunk: int, mesh=None):
+    """K = `chunk` train iterations fused into ONE jitted call via lax.scan.
+
+    Through a high-latency host<->device link (the TPU tunnel bills ~45 ms
+    per dispatch; probe_step_budget measured ~400 ms/step of host overhead
+    unpipelined) per-iteration dispatch dominates the wall clock; the scan
+    amortizes it K-fold. Per-iteration runtime scalars (LR/fineness/...)
+    arrive as stacked [K] arrays; aux metrics come back stacked [K], so the
+    host controller ingests the exact same per-iter series as the
+    single-step path. The bucket, capacities, and tree shapes are fixed
+    within a chunk (the Trainer aligns chunks to controller/milestone
+    boundaries). The reference steps strictly one iteration at a time
+    (ExpRunner.cpp:65-186); this is a TPU-first restructuring with identical
+    training math.
+    """
+    core = make_core(cfg, statics, height, width, mesh=mesh)
+    n_shards = 1 if mesh is None else int(mesh.devices.size)
+
+    def scan_fn(params, opt_state, tree, consts, data, keys, runtimes,
+                n_local):
+        def body(carry, xs):
+            p, o, t = carry
+            key, runtime = xs
+            p, o, t, aux = core(p, o, t, consts, data, key, runtime,
+                                None, n_local)
+            return (p, o, t), aux
+        (p, o, t), auxs = jax.lax.scan(
+            body, (params, opt_state, tree), (keys, runtimes))
+        return p, o, t, auxs
+
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
+        def step(params, opt_state, tree, consts, data, keys, runtimes,
+                 n_rays):
+            return scan_fn(params, opt_state, tree, consts, data, keys,
+                           runtimes, n_rays)
+        return step
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(jax.jit, static_argnames=("n_rays",), donate_argnums=(0, 1, 2))
+    def step(params, opt_state, tree, consts, data, keys, runtimes, n_rays):
+        n_local = n_rays // n_shards
+        data_spec = {k: P("data") if k in ("train_images", "train_ids")
+                     else P() for k in data}
+        in_specs = (P(), P(), P(), P(), data_spec, P(), P())
+        sm = shard_map(
+            lambda *a: scan_fn(*a, n_local=n_local), mesh=mesh,
+            in_specs=in_specs, out_specs=(P(), P(), P(), P()),
+            check_vma=False)
+        return sm(params, opt_state, tree, consts, data, keys, runtimes)
 
     return step
 
@@ -349,9 +424,13 @@ class Trainer:
         dp_cfg = cfg["train"].get("data_parallel", "auto")
         if isinstance(dp_cfg, str):
             dp_cfg = dp_cfg.strip().lower()
-        if dp_cfg in ("auto", "on", None, True):  # YAML: on -> True
+        # bool check first: 1 == True, so an int pin of 1 must not read as
+        # 'auto' (it means a single-shard mesh)
+        if not isinstance(dp_cfg, bool) and isinstance(dp_cfg, int):
+            want = int(dp_cfg)
+        elif dp_cfg in ("auto", "on", None, True):  # YAML: on -> True
             want = len(jax.devices())
-        elif dp_cfg in ("off", "none", False):    # YAML: off -> False
+        elif dp_cfg in ("off", "none", False):      # YAML: off -> False
             want = 1
         else:
             want = int(dp_cfg)
@@ -397,6 +476,13 @@ class Trainer:
         self.ema_sampled = 512.0
         self.ema_meaningful = 512.0
         self.ema_oct = 16.0
+        # traversal hit-buffer capacity: starts small, grows from the
+        # oct-hits EMA and doubles whenever a step reports truncated rays,
+        # honoring max_oct_intersect_per_ray (the reference's hard 1024
+        # bound, PersSampler.cu:8-9) instead of the old silent 64 clamp
+        self.hit_cap_limit = int(cfg["pts_sampler"]["max_oct_intersect_per_ray"])
+        self.hit_cap = min(64, self.hit_cap_limit)
+        self.trunc_ema = 0.0
         # freeze_controller(): stop the batch-size/capacity EMAs so a timing
         # window sees no bucket switches (no recompiles) — used by bench.py
         self.controller_frozen = False
@@ -406,6 +492,13 @@ class Trainer:
         self._cap_memo: dict[int, tuple] = {}
         self._pending: list[tuple] = []
         self.pipeline_depth = 3
+        # multi-step scan chunking (train.step_chunk, default 10): K
+        # iterations fused into one dispatch — host dispatch latency through
+        # the TPU tunnel otherwise costs ~as much as the device compute.
+        # Unavailable for the host data-loader path (per-iter host batches).
+        self.chunk_size = int(tcfg.get("step_chunk", 10))
+        if not self.data_at_gpu:
+            self.chunk_size = 1
 
     # ------------------------------------------------------------------ steps
 
@@ -443,9 +536,10 @@ class Trainer:
         self._cap_memo[n_rays] = (cap1, cap2)
         return cap1, cap2
 
-    def _get_step(self, n_rays: int):
+    def _get_step(self, n_rays: int, chunk: int = 1):
         """n_rays is the GLOBAL bucket; statics/capacities are built for the
-        per-shard count (identical with no mesh)."""
+        per-shard count (identical with no mesh). chunk > 1 returns the
+        fused k-iteration scan step."""
         n_local = n_rays // self.n_shards
         max_s = max_s_for(n_local, self.pts_batch // self.n_shards)
         cap1, cap2 = self._caps(n_local, max_s)
@@ -458,14 +552,27 @@ class Trainer:
             self.ema_meaningful > 0.9 * self.ema_sampled
         if single_pass:
             cap2 = cap1
-        key = (n_rays, cap1, cap2, single_pass)
+        # grow (never shrink: recompile hysteresis) the hit capacity when
+        # the oct-hits EMA approaches it — truncation-reactive doubling
+        # happens in _ingest_aux
+        if not self.controller_frozen:
+            while self.hit_cap < self.hit_cap_limit and \
+                    self.ema_oct > 0.75 * self.hit_cap:
+                self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
+        key = (n_rays, cap1, cap2, single_pass, self.hit_cap, chunk)
         if key not in self._step_cache:
             st = render_statics(self.cfg, n_local, self.dataset.near,
-                                train=True, max_s=max_s, cap1=cap1, cap2=cap2)
+                                train=True, max_s=max_s, cap1=cap1, cap2=cap2,
+                                max_hits=self.hit_cap)
             st = st._replace(single_pass=single_pass)
-            self._step_cache[key] = (
-                make_train_step(self.cfg, st, self.dataset.height,
-                                self.dataset.width, mesh=self.mesh), st)
+            if chunk == 1:
+                fn = make_train_step(self.cfg, st, self.dataset.height,
+                                     self.dataset.width, mesh=self.mesh)
+            else:
+                fn = make_train_chunk(self.cfg, st, self.dataset.height,
+                                      self.dataset.width, chunk,
+                                      mesh=self.mesh)
+            self._step_cache[key] = (fn, st)
         return self._step_cache[key]
 
     def cur_batch_size(self) -> int:
@@ -488,6 +595,11 @@ class Trainer:
                 0.1 * float(stats["n_meaningful"]) / n_rays
             self.ema_oct = 0.9 * self.ema_oct + \
                 0.1 * float(stats["n_oct_hits"]) / n_rays
+            trunc = float(stats.get("n_trav_truncated", 0.0))
+            self.trunc_ema = 0.9 * self.trunc_ema + 0.1 * trunc
+            if trunc > 0 and self.hit_cap < self.hit_cap_limit:
+                # rays lost geometry to a full hit buffer: double capacity
+                self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
         mse = float(aux["mse"])
         self.mse_records.append(mse)
         psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
@@ -522,10 +634,80 @@ class Trainer:
             k, runtime, n_rays, host_batch)
 
         self.iter_step += 1
-        self._pending.append((n_rays, aux))
+        self._pending.append((n_rays, aux, 1))
+        out = self._drain(sync)
+        self.maybe_maintain_tree()
+        return out
+
+    def _drain(self, sync: bool):
         out = None
         while self._pending and (sync or len(self._pending) > self.pipeline_depth):
-            out = self._ingest_aux(*self._pending.pop(0))
+            n_rays, aux, k = self._pending.pop(0)
+            aux = jax.device_get(aux)
+            if k == 1:
+                out = self._ingest_aux(n_rays, aux)
+            else:
+                for i in range(k):
+                    a_i = jax.tree_util.tree_map(lambda x: x[i], aux)
+                    out = self._ingest_aux(n_rays, a_i)
+        return out
+
+    def _chunk_k(self, limit: int | None = None) -> int:
+        """Iterations safely fusable into one scan chunk from the current
+        step: bounded by controller alignment, the next milestone/compaction
+        boundary, end_iter, and the caller's cadence `limit`."""
+        k = self.chunk_size
+        s = self.iter_step
+        if k <= 1 or s % k:
+            return 1
+        nxt = self.end_iter
+        t = self.tree_host
+        for m in t.milestones:
+            if m > s:
+                nxt = min(nxt, m)
+        nxt = min(nxt, (s // self.compact_freq + 1) * self.compact_freq)
+        if limit is not None:
+            nxt = min(nxt, s + limit)
+        return k if s + k <= nxt else 1
+
+    def train_auto(self, sync: bool = True, limit: int | None = None):
+        """One controller round: a fused chunk when boundaries allow it,
+        otherwise a single step. Advances iter_step by the count actually
+        run; returns the latest ingested per-iter metrics (None while
+        pipelining). `limit` caps the chunk (the Runner passes the distance
+        to its next report/vis/save cadence)."""
+        k = self._chunk_k(limit)
+        if k == 1:
+            return self.train_one(sync=sync)
+        return self.train_many(k, sync=sync)
+
+    def train_many(self, k: int, sync: bool = True):
+        """k fused iterations via the lax.scan chunk step (make_train_chunk);
+        training math identical to k train_one calls."""
+        tcfg = self.cfg["train"]
+        n_rays = self.cur_batch_size()
+        step_fn, st = self._get_step(n_rays, chunk=k)
+        iters = np.arange(self.iter_step, self.iter_step + k)
+        runtimes = dict(
+            lr=jnp.asarray([schedules.learning_rate(int(i), tcfg)
+                            for i in iters], jnp.float32),
+            fineness=jnp.asarray([schedules.ray_march_fineness(int(i), tcfg)
+                                  for i in iters], jnp.float32),
+            grad_progress=jnp.asarray(
+                [schedules.gradient_scaling_progress(int(i), tcfg)
+                 for i in iters], jnp.float32),
+            var_loss_weight=jnp.asarray(
+                [schedules.var_loss_weight(int(i), tcfg)
+                 for i in iters], jnp.float32),
+        )
+        self.key, k_base = jax.random.split(self.key)
+        keys = jax.random.split(k_base, k)
+        self.params, self.opt_state, self.tree, auxs = step_fn(
+            self.params, self.opt_state, self.tree, self.consts, self.data,
+            keys, runtimes, n_rays)
+        self.iter_step += k
+        self._pending.append((n_rays, auxs, k))
+        out = self._drain(sync)
         self.maybe_maintain_tree()
         return out
 
@@ -645,12 +827,13 @@ class Trainer:
         Single-pass: with no backward there is nothing to save by
         prefiltering."""
         cap1 = cap1 or chunk * max_s
-        key = (chunk, max_s, cap1)
+        key = (chunk, max_s, cap1, self.hit_cap)
         if not hasattr(self, "_eval_fns"):
             self._eval_fns = {}
         if key not in self._eval_fns:
             st = render_statics(self.cfg, chunk, self.dataset.near, train=False,
-                                max_s=max_s, cap1=cap1, cap2=cap1)
+                                max_s=max_s, cap1=cap1, cap2=cap1,
+                                max_hits=self.hit_cap)
             st = st._replace(single_pass=True)
             self._eval_fns[key] = make_render_fn(st)
         return self._eval_fns[key]

@@ -1,0 +1,122 @@
+"""Multi-host (DCN) data-parallel test: 2 real processes x 4 virtual CPU
+devices each, coordinated through `jax.distributed` (VERDICT r2 #8).
+
+Exercises the full multi-host story end-to-end on one machine:
+  * `init_distributed` with an explicit coordinator (the path a TPU pod
+    slice takes over DCN, SURVEY.md §2.3);
+  * `make_global_mesh` spanning both processes' devices;
+  * per-process data loading: each process materializes ONLY its
+    `process_camera_slice` of the image pool, assembled into one global
+    sharded array via `shard_data_multihost`;
+  * a shard_map step with `pmean` gradients across the 8 global shards —
+    both processes must agree on the result (the collective crossed the
+    process boundary).
+
+The reference has no distributed layer at all (SURVEY.md §2.3); this test
+validates the framework's own design without TPU hardware.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+sys.path.insert(0, os.environ["F2_REPO"])
+from f2nerf_tpu.parallel import data_parallel as dpm
+
+pid = int(sys.argv[1])
+dpm.init_distributed(coordinator_address=os.environ["F2_COORD"],
+                     num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+mesh = dpm.make_global_mesh()
+
+# per-process camera loading: 8 global cameras, this process reads 4
+N_CAMS, H = 8, 16
+sl = dpm.process_camera_slice(N_CAMS)
+assert (sl.stop - sl.start) == 4
+cam_ids = np.arange(N_CAMS, dtype=np.int32)
+# deterministic fake pixels: camera c filled with value c
+local_imgs = np.stack([np.full((H,), float(c), np.float32)
+                       for c in cam_ids[sl]])
+local_data = dict(train_images=local_imgs,
+                  train_ids=cam_ids[sl],
+                  intri=np.eye(3, dtype=np.float32))
+data = dpm.shard_data_multihost(local_data, mesh)
+assert data["train_images"].shape == (N_CAMS, H)
+
+params = dpm.replicate(dict(w=jnp.ones((4,), jnp.float32)), mesh)
+
+from functools import partial
+from jax import shard_map
+
+@jax.jit
+def step(params, data):
+    def body(params, imgs, ids):
+        # per-shard loss touches ONLY this shard's camera pixels
+        target = imgs.mean()
+        loss_fn = lambda p: jnp.sum((p["w"] - target) ** 2)
+        g = jax.grad(loss_fn)(params)
+        g = jax.lax.pmean(g, "data")          # crosses the process boundary
+        tgt = jax.lax.pmean(target, "data")
+        return g, tgt
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(), P("data"), P("data")),
+                     out_specs=(P(), P()), check_vma=False)(
+                         params, data["train_images"], data["train_ids"])
+
+g, tgt = step(params, data)
+# global mean over camera values 0..7 = 3.5 -> grad = 2*(1 - 3.5) = -5
+tgt_local = np.asarray(g["w"].addressable_shards[0].data)
+np.testing.assert_allclose(float(np.asarray(tgt.addressable_shards[0].data)),
+                           3.5, rtol=1e-6)
+np.testing.assert_allclose(tgt_local, -5.0, rtol=1e-6)
+print(f"proc{pid} OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dcn_pmean(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    env["F2_REPO"] = REPO
+    env["F2_COORD"] = f"127.0.0.1:{_free_port()}"
+    env["F2_JAX_CACHE"] = "0"
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} OK" in out, out
