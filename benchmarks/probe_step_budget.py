@@ -142,10 +142,8 @@ def main():
         rays_o, rays_d, gt, img_idx, k_render, march = p2_march(
             data, tree, params, consts, key)
         out_t, out_dt, out_node, n_s, first_oct = march
-        pos = jnp.arange(st.max_s, dtype=jnp.int32)
-        valid_dense = (pos[None, :] < n_s[:, None]).reshape(-1)
-        a, rid_a, ok_a, _ = _compact(
-            valid_dense, st.cap1,
+        a, rid_a, ok_a, _ = rd._compact_rowpacked(
+            n_s, st.cap1,
             dict(t=out_t.reshape(-1), dt=out_dt.reshape(-1),
                  node=out_node.reshape(-1)), R, max_s=st.max_s)
         rid_ac = jnp.minimum(rid_a, R - 1)
@@ -184,12 +182,58 @@ def main():
         loss, aux = compute_losses(result, gt, R, loss_w, runtime)
         return loss, (aux, occ)
 
+    def p5_compactB(data, tree, params, consts, key):
+        (rays_o, rays_d, gt, img_idx, k_render, a, rid_a, ok_a,
+         rid_ac, trans_a, pts01_a, weights_a, alpha_a, keep) = p4_prefilter(
+            data, tree, params, consts, key)
+        dirs_a = rays_d[rid_ac]
+        b, rid_b, ok_b, _ = _compact(
+            keep, st.cap2,
+            dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
+                 dirs=dirs_a, node=a["node"]), R, ray_id_src=rid_a)
+        return (rays_o, rays_d, gt, img_idx, k_render, b, rid_b, ok_b)
+
+    def p6_fieldB(data, tree, params, consts, key):
+        (rays_o, rays_d, gt, img_idx, k_render, b, rid_b, ok_b) = p5_compactB(
+            data, tree, params, consts, key)
+        _, _, k_edge = jax.random.split(k_render, 3)
+        vol_b = jnp.where(ok_b, b["trans"], 0)
+        edge_pts, edge_anchor = dv.sample_edges(tree, k_edge, st.n_edge)
+        q_pts01 = jnp.concatenate(
+            [b["pts01"], (edge_pts.reshape(-1, 3) + 1.0) * 0.5], axis=0)
+        q_vol = jnp.concatenate([vol_b, edge_anchor.reshape(-1)], axis=0)
+        all_feat = _field_query(params, consts, q_pts01, q_vol, st)
+        return (rays_o, rays_d, gt, img_idx, k_render, b, rid_b, ok_b,
+                all_feat)
+
+    def p6b_shader(data, tree, params, consts, key):
+        (rays_o, rays_d, gt, img_idx, k_render, b, rid_b, ok_b,
+         all_feat) = p6_fieldB(data, tree, params, consts, key)
+        rid_bc = jnp.minimum(rid_b, R - 1)
+        scene_feat = all_feat[: st.cap2]
+        shading_feat = jnp.concatenate(
+            [jnp.ones_like(scene_feat[:, :1]), scene_feat[:, 1:]], axis=-1)
+        if st.use_app_emb:
+            shading_feat = shading_feat + params["app_emb"][rid_bc * 0]
+        colors_s = _shader_query(params, shading_feat, b["dirs"], st)
+        return (rays_o, rays_d, gt, b, rid_b, ok_b, all_feat, colors_s)
+
     def p7_fwd(data, tree, params, consts, key):
         return fwd_loss(data, tree, params, consts, key)[0]
 
     def p8_grad(data, tree, params, consts, key):
-        return jax.grad(lambda p: fwd_loss(data, tree, p, consts, key)[0])(
-            params)
+        (loss, (aux, occ)), g = jax.value_and_grad(
+            lambda p: fwd_loss(data, tree, p, consts, key),
+            has_aux=True)(params)
+        return loss, g
+
+    def p9_step_body(data, tree, params, consts, key):
+        """grad + occupancy fold (everything in the step but Adam/EMAs)."""
+        (loss, (aux, occ)), g = jax.value_and_grad(
+            lambda p: fwd_loss(data, tree, p, consts, key),
+            has_aux=True)(params)
+        new_tree = dv.apply_occupancy_adders(tree, occ)
+        return loss, g, new_tree.weight_stats
 
     phases = [
         ("rays", p0_rays),
@@ -197,6 +241,9 @@ def main():
         ("march", p2_march),
         ("compactA+warp", p3_compactA),
         ("prefilter field+scan", p4_prefilter),
+        ("compactB", p5_compactB),
+        ("fieldB+edges", p6_fieldB),
+        ("shader", p6b_shader),
     ]
     prev = 0.0
     for name, fn in phases:
@@ -238,10 +285,28 @@ def main():
     dt, _ = timed(jax.jit(p7_fwd), tr.data, tree, params, consts, key)
     log(f"fwd loss (standalone jit): {dt * 1e3:7.1f} ms")
     dt_g, _ = timed(jax.jit(p8_grad), tr.data, tree, params, consts, key)
-    log(f"grad (standalone jit): {dt_g * 1e3:7.1f} ms")
-    log(f"chain p0-p4 = {chain_end * 1e3:.1f} ms; "
+    log(f"value_and_grad (standalone jit): {dt_g * 1e3:7.1f} ms  "
+        f"(bwd overhead vs fwd: {(dt_g - dt) * 1e3:.1f} ms)")
+    dt_s, _ = timed(jax.jit(p9_step_body), tr.data, tree, params, consts, key)
+    log(f"grad+occupancy fold: {dt_s * 1e3:7.1f} ms")
+    log(f"chain p0-shader = {chain_end * 1e3:.1f} ms; "
         f"full step {dt_full * 1e3:.1f} ms; "
-        f"step - grad = {(dt_full - dt_g) * 1e3:.1f} ms (adam+occ+dispatch)")
+        f"step - (grad+occ) = {(dt_full - dt_s) * 1e3:.1f} ms (adam+EMAs+dispatch)")
+
+    # ---------- sample-economy diagnostics (VERDICT r2 #2) ----------
+    import numpy as _np
+    trans_idx_dev = _np.asarray(jax.device_get(tree.trans_idx))
+    th = tr.tree_host
+    n = th.n_nodes
+    host_leaf = th.is_leaf[:n]
+    host_valid = host_leaf & (th.trans_idx[:n] >= 0)
+    dev_valid = host_leaf & (trans_idx_dev[:n] >= 0)
+    culled = int(_np.sum(host_valid & ~dev_valid))
+    log(f"economy: leaves={int(host_leaf.sum())} valid@build={int(host_valid.sum())} "
+        f"culled_on_device={culled} "
+        f"ema sampled/meaningful/oct = {tr.ema_sampled:.1f}/"
+        f"{tr.ema_meaningful:.1f}/{tr.ema_oct:.1f} "
+        f"iter={tr.iter_step} fineness={float(fineness):.2f}")
 
 
 if __name__ == "__main__":

@@ -215,3 +215,41 @@ def _hash_block_bwd(log2_table_size, res, g):
 
 
 hash_block_encode.defvjp(_hash_block_fwd, _hash_block_bwd)
+
+
+# ------------------------------------------------------------------ cached B
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def hash_block_gather_cached(feat_tables, prim_pool, bias_pool, points01,
+                             vol_idx, log2_table_size: int,
+                             cached_feat, src_idx):
+    """Encode `points01` given that `cached_feat[src_idx]` already holds
+    this exact encoding (computed no-grad by the prefilter pass over the
+    superset A buffer; the early-stop keep set is a gather of it).
+
+    Forward: ONE row gather from the cached [cap1, 32] features instead of
+    16 hash-row gathers per sample (the forward values are bitwise the
+    prefilter's). Backward: identical table-gradient scatter to
+    ``hash_block_encode`` (recomputes hash indices + lane weights from the
+    residuals — nothing extra is saved). The reference evaluates the field
+    twice per step (no-grad early-stop pass then grad pass,
+    Renderer.cpp:106-170) and pays the full lookup cost both times; caching
+    is free on TPU because the A features are materialized anyway.
+    """
+    del feat_tables, prim_pool, bias_pool, points01, vol_idx
+    return jnp.take(jax.lax.stop_gradient(cached_feat), src_idx, axis=0)
+
+
+def _cached_fwd(feat_tables, prim_pool, bias_pool, points01, vol_idx,
+                log2_table_size, cached_feat, src_idx):
+    out = jnp.take(jax.lax.stop_gradient(cached_feat), src_idx, axis=0)
+    prim_rows, bias_rows = _vol_rows(prim_pool, bias_pool, vol_idx)
+    return out, (feat_tables.shape, prim_rows, bias_rows, points01)
+
+
+def _cached_bwd(log2_table_size, res, g):
+    d_tables = _hash_block_bwd(log2_table_size, res, g)[0]
+    return d_tables, None, None, None, None, None, None
+
+
+hash_block_gather_cached.defvjp(_cached_fwd, _cached_bwd)

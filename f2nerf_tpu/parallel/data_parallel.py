@@ -27,8 +27,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..render.renderer import RenderStatics
-from ..train import trainer as T
+# NOTE: renderer/trainer are imported lazily inside make_sharded_train_step.
+# They create device constants at import time, which initializes the XLA
+# backend — and `init_distributed` must run before ANY backend init
+# (jax.distributed contract). This module must stay importable first.
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -102,10 +104,12 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
-def make_sharded_train_step(cfg: dict, statics: RenderStatics,
-                            height: int, width: int, mesh: Mesh):
+def make_sharded_train_step(cfg: dict, statics, height: int, width: int,
+                            mesh: Mesh):
     """Jitted SPMD train step over `mesh`; `n_rays` is the GLOBAL ray count
     (split evenly across shards). Thin alias: the single-chip and sharded
     step share ONE builder (trainer.make_train_step) so the two paths can
-    never drift; `statics` must be built for the per-shard ray count."""
+    never drift; `statics` (a renderer.RenderStatics) must be built for the
+    per-shard ray count."""
+    from ..train import trainer as T
     return T.make_train_step(cfg, statics, height, width, mesh=mesh)

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..fields.hash_block import hash_block_encode
+from ..fields.hash_block import hash_block_encode, hash_block_gather_cached
 from ..fields.hash_encoding import hash_encode
 from ..fields.mlp import mlp_apply
 from ..fields.sh import sh_encode
@@ -90,15 +90,73 @@ def _compact(valid_flat: jnp.ndarray, cap: int, fields: dict, n_rays: int,
     return out, rid, ok, idx_c
 
 
+_COMPACT_GROUP = 64
+
+
+def _compact_rowpacked(n_s: jnp.ndarray, cap: int, fields: dict,
+                       n_rays: int, max_s: int):
+    """Compact a row-packed dense [n_rays, max_s] source (valid samples
+    occupy the first n_s[r] slots of each row — exactly what the marcher
+    emits) into a flat cap buffer. Output identical to
+    ``_compact(pos < n_s, ...)``.
+
+    jnp.nonzero lowers to cumsum+bincount — a (n_rays*max_s)-element
+    scatter-add, the slowest primitive on TPU (~45 M updates/s measured;
+    73.7 ms of the round-3 step budget at cap 393k). Row-packedness makes
+    the kept set *arithmetically* indexable instead: destination slot j
+    belongs to the last ray whose pack-prefix start <= j, found with a
+    two-level indicator search (group starts, then in-group row gather) —
+    only compares, reduces and row gathers, no scatter anywhere.
+    """
+    G = _COMPACT_GROUP
+    n_s = n_s.astype(jnp.int32)
+    ends = jnp.cumsum(n_s)
+    starts = ends - n_s                                    # [R] monotonic
+    total = ends[-1]
+
+    n_grp = -(-n_rays // G)
+    pad = n_grp * G - n_rays
+    starts_p = jnp.concatenate(
+        [starts, jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)]) \
+        if pad else starts
+    starts2 = starts_p.reshape(n_grp, G)                   # [R/G, G]
+    grp_start = starts2[:, 0]                              # [R/G]
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    # level 1: group of each dst slot (indicator sum; fuses, no scatter)
+    g = jnp.sum((grp_start[None, :] <= j[:, None]).astype(jnp.int32),
+                axis=1) - 1                                # [cap]
+    g = jnp.maximum(g, 0)
+    # level 2: one row gather of the group's 64 starts, then local count
+    row = jax.lax.optimization_barrier(starts2[g])         # [cap, G]
+    r = g * G + jnp.sum((row <= j[:, None]).astype(jnp.int32), axis=1) - 1
+    r = jnp.clip(r, 0, n_rays - 1)
+
+    ok = j < total
+    s = j - starts[r]
+    src = r * max_s + s
+    src_c = jnp.where(ok, src, 0)
+    out = {k: jnp.where(ok.reshape((-1,) + (1,) * (v.ndim - 1)),
+                        v[src_c], jnp.zeros_like(v[:1]))
+           for k, v in fields.items()}
+    rid = jnp.where(ok, r, n_rays).astype(jnp.int32)
+    return out, rid, ok, src_c
+
+
+def _field_encode(params, consts, pts01, vol_idx, statics: RenderStatics):
+    """hash encode -> [n, N_LEVELS*N_CHANNELS] features."""
+    encode = (hash_block_encode if statics.field_type == "HashBlock"
+              else hash_encode)
+    return encode(params["feat_pool"], consts["prim_pool"],
+                  consts["bias_pool"], pts01, vol_idx,
+                  statics.log2_table_size)
+
+
 def _field_query(params, consts, pts01, vol_idx, statics: RenderStatics):
     """hash encode + field MLP -> [n, 16] scene features
     (Hash3DAnchored::AnchoredQuery, Hash3DAnchored.cpp:84-99). The hash ops
     carry a custom VJP with tiny residuals, so no remat is needed."""
-    encode = (hash_block_encode if statics.field_type == "HashBlock"
-              else hash_encode)
-    feat = encode(params["feat_pool"], consts["prim_pool"],
-                  consts["bias_pool"], pts01, vol_idx,
-                  statics.log2_table_size)
+    feat = _field_encode(params, consts, pts01, vol_idx, statics)
     return mlp_apply(params["field_mlp"], feat)
 
 
@@ -157,11 +215,10 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
             tree, rays_o, rays_d, hit_idx, hit_near, hit_far, n_hits,
             noise, st.sample_l, st.scale_by_dis, st.max_s)
 
-    # --- compact dense -> flat buffer A [CAP1]
-    pos = jnp.arange(st.max_s, dtype=jnp.int32)
-    valid_dense = (pos[None, :] < n_s[:, None]).reshape(-1)
-    a, rid_a, ok_a, _ = _compact(
-        valid_dense, st.cap1,
+    # --- compact dense -> flat buffer A [CAP1] (row-packed fast path: the
+    # marcher writes each ray's samples at the start of its row)
+    a, rid_a, ok_a, _ = _compact_rowpacked(
+        n_s, st.cap1,
         dict(t=out_t.reshape(-1), dt=out_dt.reshape(-1),
              node=out_node.reshape(-1)),
         R, max_s=st.max_s)
@@ -184,9 +241,13 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
         rid_bc = jnp.minimum(rid_b, R - 1)
         vol_b = trans_a
     else:
-        # --- no-grad prefilter (Renderer.cpp:106-137)
-        feat_a = jax.lax.stop_gradient(
-            _field_query(params, consts, pts01_a, trans_a, st))
+        # --- no-grad prefilter (Renderer.cpp:106-137). The raw encoding is
+        # kept: the grad pass's samples are a gather of this buffer, so the
+        # HashBlock B query reuses enc_a instead of re-hashing (16 row
+        # gathers/sample -> 1; backward unchanged).
+        enc_a = jax.lax.stop_gradient(
+            _field_encode(params, consts, pts01_a, trans_a, st))
+        feat_a = jax.lax.stop_gradient(mlp_apply(params["field_mlp"], enc_a))
         sigma_a = density_activation(feat_a[:, 0])
         sigma_a = jnp.where(ok_a, sigma_a, 0.0)
         sec_a = sigma_a * a["dt"]
@@ -205,7 +266,7 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
                 jax.lax.stop_gradient(alpha_a), R)
 
         # --- compact A -> B [CAP2] (FilterIdxBounds equivalent)
-        b, rid_b, ok_b, _ = _compact(
+        b, rid_b, ok_b, idx_b = _compact(
             keep, st.cap2,
             dict(t=a["t"], dt=a["dt"], pts01=pts01_a, trans=trans_a,
                  dirs=dirs_a, node=a["node"]),
@@ -214,14 +275,31 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
         vol_b = jnp.where(ok_b, b["trans"], 0)
 
     # --- grad-enabled field query (+ edge samples for TV loss)
+    cached = (not st.single_pass) and st.field_type == "HashBlock"
     if st.train:
         edge_pts, edge_anchor = dv.sample_edges(tree, k_edge, st.n_edge)
-        q_pts01 = jnp.concatenate(
-            [b["pts01"], (edge_pts.reshape(-1, 3) + 1.0) * 0.5], axis=0)
-        q_vol = jnp.concatenate([vol_b, edge_anchor.reshape(-1)], axis=0)
-        all_feat = _field_query(params, consts, q_pts01, q_vol, st)
+        edge_pts01 = (edge_pts.reshape(-1, 3) + 1.0) * 0.5
+        edge_vol = edge_anchor.reshape(-1)
+        if cached:
+            enc_b = hash_block_gather_cached(
+                params["feat_pool"], consts["prim_pool"],
+                consts["bias_pool"], b["pts01"], vol_b,
+                st.log2_table_size, enc_a, idx_b)
+            enc_edge = _field_encode(params, consts, edge_pts01, edge_vol, st)
+            all_feat = mlp_apply(params["field_mlp"],
+                                 jnp.concatenate([enc_b, enc_edge], axis=0))
+        else:
+            q_pts01 = jnp.concatenate([b["pts01"], edge_pts01], axis=0)
+            q_vol = jnp.concatenate([vol_b, edge_vol], axis=0)
+            all_feat = _field_query(params, consts, q_pts01, q_vol, st)
         scene_feat = all_feat[: st.cap2]
         edge_feat = all_feat[st.cap2:].reshape(st.n_edge, 2, -1)
+    elif cached:
+        enc_b = hash_block_gather_cached(
+            params["feat_pool"], consts["prim_pool"], consts["bias_pool"],
+            b["pts01"], vol_b, st.log2_table_size, enc_a, idx_b)
+        scene_feat = mlp_apply(params["field_mlp"], enc_b)
+        edge_feat = None
     else:
         scene_feat = _field_query(params, consts, b["pts01"], vol_b, st)
         edge_feat = None

@@ -138,3 +138,33 @@ def test_grad_only_touches_gathered_rows(state):
         hb.hash_block_encode(ft, prim, bias, pts, vol, L2T)))(feat)
     touched = np.count_nonzero(np.any(np.asarray(g) != 0, axis=-1))
     assert 0 < touched <= 8 * N_LEVELS
+
+
+def test_gather_cached_matches_direct_encode(state):
+    """hash_block_gather_cached must equal hash_block_encode in value AND
+    table-gradient when the cache holds the superset encoding (the
+    renderer's prefilter A buffer)."""
+    feat, prim, bias = state
+    rng = np.random.RandomState(3)
+    pts_a = jnp.asarray(rng.rand(32, 3).astype(np.float32))
+    vol_a = jnp.asarray(rng.randint(0, 2, 32).astype(np.int32))
+    enc_a = hb.hash_block_encode(feat, prim, bias, pts_a, vol_a, L2T)
+
+    idx = jnp.asarray(rng.choice(32, 12, replace=False).astype(np.int32))
+    pts_b, vol_b = pts_a[idx], vol_a[idx]
+
+    def direct(ft):
+        return hb.hash_block_encode(ft, prim, bias, pts_b, vol_b, L2T)
+
+    def cached(ft):
+        return hb.hash_block_gather_cached(
+            ft, prim, bias, pts_b, vol_b, L2T,
+            jax.lax.stop_gradient(enc_a), idx)
+
+    np.testing.assert_allclose(np.asarray(direct(feat)),
+                               np.asarray(cached(feat)), rtol=1e-6)
+    w = jnp.asarray(rng.randn(12, N_LEVELS * N_CHANNELS).astype(np.float32))
+    g_direct = jax.grad(lambda ft: jnp.sum(direct(ft) * w))(feat)
+    g_cached = jax.grad(lambda ft: jnp.sum(cached(ft) * w))(feat)
+    np.testing.assert_allclose(np.asarray(g_direct), np.asarray(g_cached),
+                               rtol=1e-5, atol=1e-7)

@@ -27,11 +27,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import os, sys
-os.environ["JAX_PLATFORMS"] = "cpu"
+# A TPU plugin sitecustomize may pre-import jax and pin jax_platforms, so
+# (as in tests/conftest.py) the post-import config.update is authoritative;
+# XLA_FLAGS is read lazily at backend init, so the env set still works.
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+
+jax.config.update("jax_platforms", "cpu")
+# cross-process collectives on the CPU backend need gloo; without it each
+# process builds a local-only client and jax.process_count() stays 1
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 sys.path.insert(0, os.environ["F2_REPO"])
 from f2nerf_tpu.parallel import data_parallel as dpm
@@ -100,7 +107,8 @@ def test_two_process_dcn_pmean(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["F2_REPO"] = REPO
     env["F2_COORD"] = f"127.0.0.1:{_free_port()}"
     env["F2_JAX_CACHE"] = "0"

@@ -128,3 +128,36 @@ def test_colmap_text_roundtrip(tmp_path):
     for p in poses:
         np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3), atol=1e-6)
     assert (cams[:, 25] > 0).all() and (cams[:, 26] > cams[:, 25]).all()
+
+
+def test_compact_rowpacked_matches_nonzero_compact():
+    """_compact_rowpacked (scatter-free fast path for the marcher's
+    row-packed output) must be bit-identical to the generic nonzero-based
+    _compact across: empty rays, trailing empty rays, overflow (total >
+    cap), underflow, and ray counts not divisible by the group size."""
+    from f2nerf_tpu.render.renderer import _compact, _compact_rowpacked
+
+    rng = np.random.default_rng(7)
+    for n_rays, max_s, cap in [(8, 16, 64), (100, 32, 512), (100, 32, 128),
+                               (130, 8, 1024), (64, 4, 16)]:
+        n_s = rng.integers(0, max_s + 1, n_rays).astype(np.int32)
+        n_s[rng.integers(0, n_rays, 3)] = 0            # empty rays
+        n_s[-2:] = 0                                   # trailing empties
+        t = rng.random((n_rays, max_s)).astype(np.float32)
+        node = rng.integers(0, 999, (n_rays, max_s)).astype(np.int32)
+        # row-packed invariant: only the first n_s[r] slots are valid;
+        # invalid slots must not leak into the output regardless of value
+        fields = dict(t=jnp.asarray(t.reshape(-1)),
+                      node=jnp.asarray(node.reshape(-1)))
+
+        pos = np.arange(max_s, dtype=np.int32)
+        valid = jnp.asarray((pos[None, :] < n_s[:, None]).reshape(-1))
+        ref, rid_ref, ok_ref, _ = _compact(valid, cap, fields, n_rays,
+                                           max_s=max_s)
+        out, rid, ok, _ = _compact_rowpacked(jnp.asarray(n_s), cap, fields,
+                                             n_rays, max_s)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+        np.testing.assert_array_equal(np.asarray(rid), np.asarray(rid_ref))
+        for k in fields:
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(ref[k]))
