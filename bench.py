@@ -48,12 +48,31 @@ def main():
     tr = Trainer(cfg, tempfile.mkdtemp(prefix="f2bench_exp_"), data_path,
                  seed=2022)
 
-    # Train past the init transient so the adaptive controller reaches its
-    # operating bucket (early training has ~5x more samples/ray than the
-    # steady state, so timing iter ~10 underreports by the same factor).
-    # The persistent compile cache keeps the bucket-walk compiles cheap on
-    # reruns. F2_BENCH_SETTLE=12 gives the old quick behavior.
-    settle = int(os.environ.get("F2_BENCH_SETTLE", "250"))
+    # Steady-state mode: resume from a real training run's checkpoint when
+    # one exists (the full-budget fox run, benchmarks/run_full20k.sh), so
+    # the benchmark reflects the post-milestone operating point — mature
+    # occupancy culling + adaptive batch — instead of the iter-250
+    # transient (VERDICT r2 #10). Opt out: F2_BENCH_CKPT=0; point at a
+    # specific run: F2_BENCH_CKPT=/path/to/checkpoints/latest.
+    ckpt_env = os.environ.get("F2_BENCH_CKPT", "")
+    ckpt = None
+    if ckpt_env not in ("0", "none") and extra is None:
+        cands = [ckpt_env] if ckpt_env else []
+        cands += [os.path.join(_REPO, "exp", "ngp_fox", e,
+                               "checkpoints", "latest")
+                  for e in ("r3full", "r2long")]
+        ckpt = next((c for c in cands if c and os.path.isdir(c)), None)
+    if ckpt:
+        tr.load_checkpoint(ckpt)
+        workload += f"@iter{tr.iter_step}"
+        settle = tr.iter_step + int(os.environ.get("F2_BENCH_SETTLE", "24"))
+    else:
+        # Train past the init transient so the adaptive controller reaches
+        # its operating bucket (early training has ~5x more samples/ray
+        # than steady state). The persistent compile cache keeps the
+        # bucket-walk compiles cheap on reruns. F2_BENCH_SETTLE=12 gives
+        # the old quick behavior.
+        settle = int(os.environ.get("F2_BENCH_SETTLE", "250"))
     while tr.iter_step < settle:
         tr.train_auto(sync=(tr.iter_step % 64 == 56))
     # pin the bucket so the timed window has no recompiles

@@ -56,6 +56,11 @@ def main():
     t = time.time()
     tr = Trainer(cfg, "/tmp/probe_budget", data, seed=2022)
     log(f"Trainer init: {time.time() - t:.1f}s n_trans={tr.n_volumes}")
+    # F2_CKPT=<exp>/checkpoints/<iter>: profile a REAL training state (post-
+    # milestone culling, mature batch controller) instead of the transient
+    if os.environ.get("F2_CKPT"):
+        tr.load_checkpoint(os.environ["F2_CKPT"])
+        log(f"resumed from {os.environ['F2_CKPT']} at iter {tr.iter_step}")
 
     for i in range(settle):
         tr.train_one(sync=(i % 8 == 7))

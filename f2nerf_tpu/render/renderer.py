@@ -129,11 +129,14 @@ def _compact_rowpacked(n_s: jnp.ndarray, cap: int, fields: dict,
     g = jnp.maximum(g, 0)
     # level 2: one row gather of the group's 64 starts, then local count
     row = jax.lax.optimization_barrier(starts2[g])         # [cap, G]
-    r = g * G + jnp.sum((row <= j[:, None]).astype(jnp.int32), axis=1) - 1
+    le = row <= j[:, None]
+    r = g * G + jnp.sum(le.astype(jnp.int32), axis=1) - 1
     r = jnp.clip(r, 0, n_rays - 1)
 
     ok = j < total
-    s = j - starts[r]
+    # the owner's start is the largest group start <= j — a masked lane max
+    # over the row already in registers (no scalar gather of starts[r])
+    s = j - jnp.max(jnp.where(le, row, -1), axis=1)
     src = r * max_s + s
     src_c = jnp.where(ok, src, 0)
     out = {k: jnp.where(ok.reshape((-1,) + (1,) * (v.ndim - 1)),

@@ -113,3 +113,47 @@ def test_trainer_data_parallel_off(tmp_path_factory):
     assert tr.mesh is None and tr.n_shards == 1
     m = tr.train_one()
     assert np.isfinite(m["loss"])
+
+
+def test_chunked_scan_matches_single_steps(setup):
+    """make_train_chunk(K) with keys [k1, k2] must produce bitwise-identical
+    params/opt/tree to two make_train_step calls with k1 then k2 — the scan
+    fusion is a dispatch optimization, not a math change."""
+    cfg, tr = setup
+    n_rays = 512
+    statics = T.render_statics(cfg, n_rays, tr.dataset.near, train=True,
+                               max_s=128, cap1=8192, cap2=8192)
+    single = T.make_train_step(cfg, statics, tr.dataset.height,
+                               tr.dataset.width)
+    chunk = T.make_train_chunk(cfg, statics, tr.dataset.height,
+                               tr.dataset.width, 2)
+    data = tr.dataset.device_arrays(n_shards=1)
+
+    copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.array(x, copy=True), t)
+    runtime = dict(lr=jnp.asarray(1e-3), fineness=jnp.asarray(2.0),
+                   grad_progress=jnp.asarray(1.0),
+                   var_loss_weight=jnp.asarray(0.0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+
+    p, o, t = copy(tr.params), copy(tr.opt_state), copy(tr.tree)
+    p, o, t, aux1 = single(p, o, t, copy(tr.consts), data, k1, runtime,
+                           n_rays, None)
+    p, o, t, aux2 = single(p, o, t, copy(tr.consts), data, k2, runtime,
+                           n_rays, None)
+
+    runtimes = {k: jnp.stack([v, v]) for k, v in runtime.items()}
+    pc, oc, tc = copy(tr.params), copy(tr.opt_state), copy(tr.tree)
+    pc, oc, tc, auxs = chunk(pc, oc, tc, copy(tr.consts), data,
+                             jnp.stack([k1, k2]), runtimes, n_rays)
+
+    np.testing.assert_array_equal(np.asarray(auxs["loss"][0]),
+                                  np.asarray(aux1["loss"]))
+    np.testing.assert_array_equal(np.asarray(auxs["loss"][1]),
+                                  np.asarray(aux2["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(pc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(t),
+                    jax.tree_util.tree_leaves(tc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
