@@ -184,6 +184,37 @@ def test_single_image_ray_mode(trainer, tmp_path_factory):
     assert np.isfinite(m["loss"])
 
 
+def test_hash3d_anchored_field_trains(trainer, tmp_path_factory):
+    """field.type=Hash3DAnchored (the reference per-corner semantics,
+    fields/hash_encoding.py) must train end-to-end — it is the non-default
+    arm of the equal-budget A/B (benchmarks/run_ab_field.sh) and must also
+    exercise the renderer's non-cached B pass (renderer.py: cached is
+    HashBlock-only)."""
+    from f2nerf_tpu.utils.config import compose
+    from f2nerf_tpu.train.trainer import Trainer
+    cfg = compose("confs", "wanjinyou", [
+        "train.pts_batch_size=4096",
+        "train.learning_rate_warm_up_end_iter=10",
+        "pts_sampler.bbox_levels=6",
+        "pts_sampler.max_level=4",
+        "pts_sampler.sample_l=0.015625",
+        "train.ray_march_init_fineness=2",
+        "field.type=Hash3DAnchored",
+        "field.log2_table_size=12",
+        "+capacity.max_nodes=8192",
+        "+capacity.max_trans=512",
+        "+capacity.max_edges=16384",
+    ])
+    tr = Trainer(cfg, str(tmp_path_factory.mktemp("exp_h3d")),
+                 trainer.dataset.data_path, seed=5)
+    losses = []
+    for _ in range(20):
+        m = tr.train_one()
+        losses.append(m["mse"])
+        assert np.isfinite(m["loss"])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
 def test_reset(trainer):
     p0 = np.asarray(trainer.params["feat_pool"])
     trainer.reset()
