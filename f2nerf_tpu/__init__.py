@@ -35,4 +35,29 @@ def _enable_compilation_cache():
         pass
 
 
+def _honor_platform_env():
+    """Make the JAX_PLATFORMS env var authoritative for platform selection.
+
+    Some deployment images register an accelerator plugin from
+    ``sitecustomize`` at interpreter startup and programmatically set
+    ``jax_platforms`` (e.g. to "axon,cpu"), silently overriding the env
+    var. Tests work around it per-process (tests/conftest.py); this makes
+    the documented contract — ``JAX_PLATFORMS=cpu python scripts/run.py``
+    runs on CPU — hold for every entry point. A no-op when the env var is
+    unset or backends already initialized."""
+    envp = _os.environ.get("JAX_PLATFORMS")
+    if not envp:
+        return
+    try:
+        import jax
+        from jax._src import xla_bridge as _xb
+        if _xb.backends_are_initialized():
+            return  # too late; selection is already pinned
+        if jax.config.jax_platforms != envp:
+            jax.config.update("jax_platforms", envp)
+    except Exception:  # selection hygiene, never a requirement
+        pass
+
+
 _enable_compilation_cache()
+_honor_platform_env()

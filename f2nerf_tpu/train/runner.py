@@ -116,6 +116,11 @@ class Runner:
                       f"Samples: {tr.ema_sampled:.1f} "
                       f"MeaningfulSamples: {tr.ema_meaningful:.1f} "
                       f"IPS: {ips:.2f}{trunc}", flush=True)
+        # final state must always be on disk, whether or not end_iter lands
+        # on the save cadence (the reference saves only at end_iter,
+        # ExpRunner.cpp:180-186)
+        if self.end_iter % self.save_freq != 0:
+            tr.save_checkpoint()
         with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
             f.write(f"{time.time() - t_start}\n")
         print("Train done, test.", flush=True)

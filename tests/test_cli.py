@@ -29,7 +29,9 @@ OVERRIDES = [
     "dataset_name=synth", "case_name=ball", "exp_name=cli_test",
     "dataset.factor=1",  # synthetic scene ships full-res images/ only
     "train.pts_batch_size=4096", "train.end_iter=4",
-    "train.report_freq=2", "train.vis_freq=1000", "train.save_freq=4",
+    # save_freq deliberately does NOT divide end_iter: the runner must
+    # still save the final state (end-of-train guard)
+    "train.report_freq=2", "train.vis_freq=1000", "train.save_freq=3",
     "pts_sampler.bbox_levels=6", "pts_sampler.max_level=3",
     "pts_sampler.sample_l=0.03125", "train.ray_march_init_fineness=2",
     "field.log2_table_size=10",
@@ -45,7 +47,10 @@ def test_run_cli_train(workdir):
     exp = os.path.join(workdir, "exp", "ball", "cli_test")
     assert os.path.exists(os.path.join(exp, "train_info.txt"))
     assert os.path.exists(os.path.join(exp, "test_images", "info.yaml"))
-    assert os.path.exists(os.path.join(exp, "checkpoints", "latest", "state.npz"))
+    ck = os.path.join(exp, "checkpoints", "latest", "state.npz")
+    assert os.path.exists(ck)
+    # end_iter=4, save_freq=3: latest must be the FINAL state, not iter 3
+    assert int(np.load(ck)["iter_step"]) == 4
     assert os.path.exists(os.path.join(exp, "octree.obj"))
     assert os.path.exists(os.path.join(exp, "cam_pos.ply"))
     import yaml
