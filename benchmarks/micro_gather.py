@@ -99,6 +99,48 @@ def sort_segsum_case(n, t, w):
     return fn, (vals, idx), n
 
 
+def pallas_gather_case(n, t, unroll=1):
+    """The hypothetical Pallas hash-lookup inner loop: table resident in
+    VMEM (8 MiB at t=16384, w=128 — fits), one dynamic row load per sample
+    inside a fori_loop. v5e has no vector-lane row gather, so per-row
+    serial loads are the ONLY Pallas formulation; this measures whether
+    they beat XLA's gather lowering (~300 M rows/s). See ARCHITECTURE.md
+    "Why the hash lookup is not a Pallas kernel"."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W, CHUNK = 128, 2048
+    table = jnp.asarray(np.random.randn(t, W), jnp.float32)
+    idx = jnp.asarray(np.random.randint(0, t, n), jnp.int32)
+
+    def kernel(idx_ref, table_ref, out_ref):
+        def body(i, c):
+            out_ref[i, :] = table_ref[idx_ref[i, 0], :]
+            return c
+        jax.lax.fori_loop(0, CHUNK, body, 0, unroll=unroll)
+
+    def gather(table, ix2):
+        return pl.pallas_call(
+            kernel,
+            grid=(n // CHUNK,),
+            in_specs=[pl.BlockSpec((CHUNK, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((t, W), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((CHUNK, W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, W), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(ix2, table)
+
+    def fn(salt, table, idx, iters):
+        def body(i, acc):
+            ix = ((idx + (i + salt) * 7919) % t).reshape(-1, 1)
+            return acc + gather(table, ix).sum()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    return fn, (table, idx), n
+
+
 CASES = {}
 
 
@@ -113,6 +155,15 @@ reg("gather_f32_w128",  lambda: gather_case(1 << 20, 1 << 14, 128))
 reg("gather_f32_w128_big", lambda: gather_case(1 << 22, 1 << 14, 128))
 reg("gather_bf16_w128", lambda: gather_case(1 << 20, 1 << 14, 128, jnp.bfloat16))
 reg("gather_f32_w128_bigtab", lambda: gather_case(1 << 20, 1 << 18, 128))
+# row-width scaling past one vreg: if 256/512-lane rows gather at the same
+# ROW rate, multi-row layouts halve/quarter the gather count per sample
+reg("gather_f32_w256",  lambda: gather_case(1 << 20, 1 << 13, 256))
+reg("gather_f32_w512",  lambda: gather_case(1 << 20, 1 << 12, 512))
+reg("scatter_f32_w256", lambda: scatter_case(1 << 20, 1 << 13, 256))
+# the Pallas counter-kernel (serial VMEM row loads; see builder docstring)
+reg("pallas_gather_w128", lambda: pallas_gather_case(1 << 20, 1 << 14))
+reg("pallas_gather_w128_u8",
+    lambda: pallas_gather_case(1 << 20, 1 << 14, unroll=8))
 # backward-scatter design space
 reg("scatter_f32_w2",   lambda: scatter_case(1 << 20, 1 << 19, 2))
 reg("scatter_f32_w128", lambda: scatter_case(1 << 20, 1 << 14, 128))

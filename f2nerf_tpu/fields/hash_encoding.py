@@ -19,7 +19,8 @@ TPU performance design (this is the hottest op in the framework):
   * Lookups are [n, 2] row gathers from the fp32 pool — measured the fastest
     XLA random-access path on v5e (row gathers beat packed-u32 element
     gathers ~1.7x; TPU has no hardware gather, so this op is rate-limited by
-    XLA's gather lowering — a Pallas redesign is tracked for a later round).
+    XLA's gather lowering, which is at the hardware per-row issue floor —
+    see ARCHITECTURE.md "Why the hash lookup is not a Pallas kernel").
   * custom_vjp: like the reference kernel (Hash3DAnchored.cu:82-155), the
     backward produces gradients only for the feature pool (warp coords carry
     no gradient path); residuals are just the query inputs, so no remat or

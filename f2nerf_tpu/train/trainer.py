@@ -191,6 +191,7 @@ def make_core(cfg: dict, statics: RenderStatics, height: int, width: int,
     loss_w = dict(disp_loss_weight=float(tcfg["disp_loss_weight"]),
                   tv_loss_weight=float(tcfg["tv_loss_weight"]))
     tx = make_optimizer()
+    fused = bool(tcfg.get("fused_adam", False))
     single_image = str(cfg["dataset"].get(
         "ray_sample_mode", "all_images")) == "single_image"
     # under a mesh, single_image picks one camera PER SHARD (a batch then
@@ -239,6 +240,12 @@ def make_core(cfg: dict, statics: RenderStatics, height: int, width: int,
             [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
 
         def do_update(_):
+            if fused:
+                # one Pallas streaming pass over (p, m, v, g) for the pool
+                # (ops/fused_adam.py); state layout stays the optax chain's
+                from ..ops.fused_adam import apply_adam
+                return apply_adam(params, opt_state, grads, runtime["lr"],
+                                  weight_decay=WEIGHT_DECAY, **ADAM_KW)
             updates, new_opt = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(
                 lambda u: -runtime["lr"] * u, updates)
