@@ -24,6 +24,38 @@ BASELINE_RAYS_PER_SEC = 3.6e5
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def preflight_tpu_relay():
+    """Fail fast (honest zero + rc 1) when the axon TPU relay is dead.
+
+    The tunnel's PJRT client retries dialing forever when the relay
+    process is down (observed round-3 outage: every dispatch hangs); a
+    quick TCP probe beats a silent multi-hour hang. Only applies when the
+    axon platform would be selected (JAX_PLATFORMS unset — the image's
+    sitecustomize pins "axon,cpu" — or explicitly includes axon)."""
+    import socket
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        return
+    for port in (8082, 8083, 8087, 8092):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=2).close()
+            return
+        except OSError:
+            pass
+    print("bench.py: axon TPU relay unreachable (all tunnel ports refused) "
+          "— the relay process died and only the external driver can "
+          "restore it (see BENCHMARKS.md round-3 infrastructure note). "
+          "Set JAX_PLATFORMS=cpu to benchmark on CPU.", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ngp_fox wanjinyou training throughput",
+        "value": 0.0,
+        "unit": "rays/sec",
+        "vs_baseline": 0.0,
+        "error": "axon TPU relay down: tunnel ports connection-refused",
+    }))
+    sys.exit(1)
+
+
 def find_dataset():
     if os.environ.get("F2_BENCH_SYNTH", "0") != "1":
         for cand in (
@@ -37,6 +69,7 @@ def find_dataset():
 
 
 def main():
+    preflight_tpu_relay()
     import jax
     import numpy as np
     from f2nerf_tpu.utils.config import compose

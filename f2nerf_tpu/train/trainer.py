@@ -105,6 +105,18 @@ def make_optimizer():
     )
 
 
+def grow_hit_cap(hit_cap: int, limit: int, ema_oct: float) -> int:
+    """Traversal hit capacity: grow (never shrink — recompile hysteresis)
+    while the oct-hits EMA approaches the cap, up to the configured
+    max_oct_intersect_per_ray. The reference allocates its 1024 bound up
+    front and CHECK-crashes on overflow (PersSampler.cu:8-9,330-337);
+    here capacity adapts and observed truncation also doubles it
+    (_ingest_aux)."""
+    while hit_cap < limit and ema_oct > 0.75 * hit_cap:
+        hit_cap = min(2 * hit_cap, limit)
+    return hit_cap
+
+
 def pow2ceil(x: float) -> int:
     p = 1
     while p < x:
@@ -559,13 +571,9 @@ class Trainer:
             self.ema_meaningful > 0.9 * self.ema_sampled
         if single_pass:
             cap2 = cap1
-        # grow (never shrink: recompile hysteresis) the hit capacity when
-        # the oct-hits EMA approaches it — truncation-reactive doubling
-        # happens in _ingest_aux
         if not self.controller_frozen:
-            while self.hit_cap < self.hit_cap_limit and \
-                    self.ema_oct > 0.75 * self.hit_cap:
-                self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
+            self.hit_cap = grow_hit_cap(self.hit_cap, self.hit_cap_limit,
+                                        self.ema_oct)
         key = (n_rays, cap1, cap2, single_pass, self.hit_cap, chunk)
         if key not in self._step_cache:
             st = render_statics(self.cfg, n_local, self.dataset.near,
