@@ -36,8 +36,9 @@ free in HBM). Unlike the reference grid, corner values on block faces are
 duplicated rather than shared, so the field may be slightly discontinuous
 across block boundaries at each level; block phases differ per level, and
 training drives both copies to consistency (quality evidence: fox CLI runs
-in BENCHMARKS.md and the threshold-gated fox crop regression test in
-tests/test_fox_regression.py).
+in BENCHMARKS.md and the threshold-gated fox train-PSNR regression test in
+tests/test_fox_regression.py, which falls back to the reference's in-repo
+fox dataset so it runs in every environment).
 """
 
 from __future__ import annotations

@@ -24,7 +24,7 @@ Access is fully regular (row-major streaming), which is exactly where a
 Pallas kernel beats generic XLA on TPU; the irregular ops of this
 framework (hash row gather/scatter) stay in XLA because v5e has no
 vector-lane row gather — see ARCHITECTURE.md "Why the hash lookup is not
-a Pallas kernel" and benchmarks/probe_pallas_gather.py for the measured
+a Pallas kernel" and benchmarks/micro_gather.py (pallas_gather_case) for the measured
 proof.
 
 Runs in interpreter mode automatically off-TPU so the CPU test suite

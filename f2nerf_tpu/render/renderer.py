@@ -230,7 +230,14 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
     trans_a = jnp.maximum(tree.trans_idx[node_a], 0)
     xyz_a = rays_o[rid_ac] + rays_d[rid_ac] * a["t"][:, None]
     warp_a = dv.apply_warp(tree, trans_a, xyz_a)
-    pts01_a = (warp_a + 1.0) * 0.5
+    # Invalid A slots hold garbage samples (t=0 -> warp of the ray origin)
+    # whose perspective division in apply_warp can emit NaN/inf. A NaN here
+    # poisons enc_a rows; the cached-B fill index (cap1-1) forwards such a
+    # row into the grad pass, where zero-cotangent x NaN kills every shared
+    # MLP weight gradient while the loss stays finite (round-3 multi-device
+    # regression). Pin invalid slots to the volume center — their outputs
+    # are masked out of every composite anyway.
+    pts01_a = jnp.where(ok_a[:, None], (warp_a + 1.0) * 0.5, 0.5)
     dirs_a = rays_d[rid_ac]
 
     occ = None
@@ -288,6 +295,9 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
                 params["feat_pool"], consts["prim_pool"],
                 consts["bias_pool"], b["pts01"], vol_b,
                 st.log2_table_size, enc_a, idx_b)
+            # belt-and-braces: the grad-pass MLP must never see a non-finite
+            # row, whatever the fill index pointed at
+            enc_b = jnp.where(ok_b[:, None], enc_b, 0.0)
             enc_edge = _field_encode(params, consts, edge_pts01, edge_vol, st)
             all_feat = mlp_apply(params["field_mlp"],
                                  jnp.concatenate([enc_b, enc_edge], axis=0))
@@ -301,6 +311,7 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
         enc_b = hash_block_gather_cached(
             params["feat_pool"], consts["prim_pool"], consts["bias_pool"],
             b["pts01"], vol_b, st.log2_table_size, enc_a, idx_b)
+        enc_b = jnp.where(ok_b[:, None], enc_b, 0.0)
         scene_feat = mlp_apply(params["field_mlp"], enc_b)
         edge_feat = None
     else:

@@ -115,6 +115,51 @@ def test_trainer_data_parallel_off(tmp_path_factory):
     assert np.isfinite(m["loss"])
 
 
+def test_cached_b_survives_nan_pad_slots(setup, monkeypatch):
+    """Round-3 regression (bisected to 0b12a6a): invalid A slots hold t=0
+    garbage whose perspective warp can emit NaN; the cached-B fill index
+    forwarded those enc_a rows into the grad pass and 0-cotangent x NaN
+    killed every shared MLP weight gradient while the loss stayed finite.
+    Deterministic repro: force apply_warp to NaN at exactly the garbage
+    condition (point == a camera origin, i.e. t == 0 pad slots) and demand
+    finite grads through the full train step."""
+    from f2nerf_tpu.sampler import device as dv
+
+    cfg, tr = setup
+    real_warp = dv.apply_warp
+    origins = jnp.asarray(np.asarray(tr.data["poses"])[:, :3, 3])
+
+    def poisoned(tree, trans_idx, pts):
+        out = real_warp(tree, trans_idx, pts)
+        bad = jnp.any(jnp.all(jnp.abs(pts[:, None, :] - origins[None]) < 1e-9,
+                              axis=-1), axis=-1)
+        return jnp.where(bad[:, None], jnp.nan, out)
+
+    monkeypatch.setattr(dv, "apply_warp", poisoned)
+
+    n_rays = 64  # small: cap1 must NOT saturate, so pad slots exist
+    statics = T.render_statics(cfg, n_rays, tr.dataset.near, train=True,
+                               max_s=128, cap1=8192, cap2=8192)
+    assert statics.field_type == "HashBlock" and not statics.single_pass, \
+        "test must exercise the cached-B path"
+    step = T.make_train_step(cfg, statics, tr.dataset.height,
+                             tr.dataset.width)
+    data = tr.dataset.device_arrays(n_shards=1)
+    copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.array(x, copy=True), t)
+    runtime = dict(lr=jnp.asarray(1e-3), fineness=jnp.asarray(2.0),
+                   grad_progress=jnp.asarray(1.0),
+                   var_loss_weight=jnp.asarray(0.0))
+    p, o, t, aux = step(copy(tr.params), copy(tr.opt_state), copy(tr.tree),
+                        copy(tr.consts), data, jax.random.PRNGKey(0),
+                        runtime, n_rays, None)
+    # the pad slots must actually exist (cap1 far above the sampled count)
+    assert float(aux["stats"]["n_sampled"]) < statics.cap1
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["grads_finite"]) == 1.0, \
+        "NaN pad slots poisoned the gradients through the cached-B path"
+
+
 def test_chunked_scan_matches_single_steps(setup):
     """make_train_chunk(K) with keys [k1, k2] must produce bitwise-identical
     params/opt/tree to two make_train_step calls with k1 then k2 — the scan
