@@ -16,7 +16,11 @@ Usage: python benchmarks/bench_fused_adam.py [--steps 50] [--log2 19]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
