@@ -72,6 +72,18 @@ class Runner:
         tr = self.trainer
         t_start = time.time()
         t_report = time.time()
+        # Graceful preemption: SIGTERM/SIGINT finish the current fused chunk,
+        # save the exact state, then run the end-of-train flow (test render +
+        # train_info) instead of dying mid-step. On preemptible TPU fleets
+        # this turns an eviction notice into a resumable checkpoint; the
+        # reference has no equivalent (a killed ExpRunner loses everything
+        # since its single end_iter save, ExpRunner.cpp:180-186).
+        import signal
+        stop_sig = {"n": None}
+        prev_handlers = {}
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[_sig] = signal.signal(
+                _sig, lambda n, f: stop_sig.__setitem__("n", n))
         # device-level tracing: F2_JAX_PROFILE=<dir> captures a jax.profiler
         # trace of the first ~20 post-warmup iterations (TPU equivalent of
         # the reference's #ifdef PROFILE ScopeWatch instrumentation)
@@ -79,7 +91,7 @@ class Runner:
         prof_window = (30, 50) if prof_dir else None
         freqs = [self.report_freq, self.vis_freq, self.stats_freq,
                  self.save_freq]
-        while tr.iter_step < self.end_iter:
+        while tr.iter_step < self.end_iter and stop_sig["n"] is None:
             if prof_window and prof_window[0] is not None \
                     and tr.iter_step >= prof_window[0]:
                 import jax
@@ -116,10 +128,15 @@ class Runner:
                       f"Samples: {tr.ema_sampled:.1f} "
                       f"MeaningfulSamples: {tr.ema_meaningful:.1f} "
                       f"IPS: {ips:.2f}{trunc}", flush=True)
+        for _sig, _h in prev_handlers.items():
+            signal.signal(_sig, _h)
+        if stop_sig["n"] is not None:
+            print(f"Graceful stop (signal {stop_sig['n']}) at iter "
+                  f"{tr.iter_step}; saving state.", flush=True)
         # final state must always be on disk, whether or not end_iter lands
         # on the save cadence (the reference saves only at end_iter,
         # ExpRunner.cpp:180-186)
-        if self.end_iter % self.save_freq != 0:
+        if stop_sig["n"] is not None or self.end_iter % self.save_freq != 0:
             tr.save_checkpoint()
         with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
             f.write(f"{time.time() - t_start}\n")

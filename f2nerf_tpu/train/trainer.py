@@ -57,10 +57,41 @@ def pick_bucket(n: float) -> int:
     return BUCKETS[0]
 
 
+def pick_bucket_hysteresis(want: float, cur: int | None) -> int:
+    """Bucket pick with a 10% dead band around the current bucket.
+
+    When the meaningful-samples EMA sits right at a bucket boundary the raw
+    pick flips every few steps (observed 2048<->3072 thrash on fox at
+    meaningful/ray ~85), alternating between two compiled chunks. Only
+    leave `cur` once `want` clears the boundary by 10% in the direction of
+    travel."""
+    b = pick_bucket(want)
+    if cur is not None and b != cur:
+        if b > cur:
+            # the band guards the first boundary above cur, so a decisive
+            # multi-bucket jump still lands on the raw pick
+            nxt = next((x for x in BUCKETS if x > cur), b)
+            if want < 1.1 * nxt:
+                b = cur
+        elif want > 0.9 * cur:
+            b = cur
+    return b
+
+
 def max_s_for(n_rays: int, pts_batch: int) -> int:
-    """Per-ray sample cap for a bucket: bounded dense-buffer footprint."""
+    """Per-ray sample cap for a bucket: bounded dense-buffer footprint.
+
+    Floored at 512: per-ray sample need is a property of the marcher
+    (sample_l, fineness decay, scene span — the reference statically allows
+    1024 samples/ray regardless of batch, PersSampler.cu:8-9), NOT of the
+    ray count. The previous 4*pts_batch/n_rays formula shrank the cap to
+    256 when the controller reached the 4096-ray bucket mid fineness-decay
+    on fox, truncating every ray's far geometry (train PSNR collapsed
+    21.8 -> 14.0 at iter 5950 of the r4 full run; Samples EMA pinned at
+    exactly max_s/2). The memory bound belongs to the flat caps (_caps),
+    not to per-ray depth."""
     v = 4 * pts_batch // n_rays
-    p = 64
+    p = 512
     while p < v and p < 1024:
         p *= 2
     return p
@@ -505,6 +536,7 @@ class Trainer:
         # freeze_controller(): stop the batch-size/capacity EMAs so a timing
         # window sees no bucket switches (no recompiles) — used by bench.py
         self.controller_frozen = False
+        self._cur_bucket: int | None = None
         self.psnr_smooth = -1.0
         self.mse_records: list[float] = []
         self._step_cache: dict[tuple, object] = {}
@@ -592,7 +624,8 @@ class Trainer:
 
     def cur_batch_size(self) -> int:
         want = self.pts_batch / max(self.ema_meaningful, 1.0)
-        b = pick_bucket(want)
+        b = pick_bucket_hysteresis(want, self._cur_bucket)
+        self._cur_bucket = b
         return max(b // self.n_shards, 1) * self.n_shards
 
     def freeze_controller(self, frozen: bool = True):

@@ -53,3 +53,34 @@ def test_all_top_configs_compose():
             assert group in cfg, (name, group)
         assert cfg["shader"]["degree"] == 4
         assert cfg["pts_sampler"]["type"] == "PersSampler"
+
+
+def test_bucket_hysteresis_dead_band():
+    from f2nerf_tpu.train.trainer import pick_bucket_hysteresis
+
+    # fresh controller: raw pick wins
+    assert pick_bucket_hysteresis(3100.0, None) == 3072
+    # boundary noise around 3072 must not flip the bucket either way
+    assert pick_bucket_hysteresis(3048.0, 3072) == 3072   # raw pick = 2048
+    assert pick_bucket_hysteresis(3120.0, 2048) == 2048   # raw pick = 3072
+    # a decisive move (>10% past the boundary) does switch
+    assert pick_bucket_hysteresis(2704.0, 3072) == 2048   # < 0.9 * 3072
+    assert pick_bucket_hysteresis(3400.0, 2048) == 3072   # > 1.1 * 3072
+    # multi-bucket jumps still land on the raw pick
+    assert pick_bucket_hysteresis(13000.0, 2048) == 12288
+    assert pick_bucket_hysteresis(600.0, 8192) == 512
+
+
+def test_max_s_floor_across_buckets():
+    """Per-ray sample cap must not shrink as the ray bucket grows: the
+    4096-ray bucket at 262144 pts/batch truncated geometry at max_s=256 and
+    collapsed train PSNR (r4 full fox run, iter 5950). Reference allows
+    1024 samples/ray regardless of batch (PersSampler.cu:8-9)."""
+    from f2nerf_tpu.train.trainer import BUCKETS, max_s_for
+
+    caps = [max_s_for(b, 262144) for b in BUCKETS]
+    assert all(c >= 512 for c in caps), caps
+    # non-increasing with bucket size, and small buckets keep the 1024 roof
+    assert all(a >= b for a, b in zip(caps, caps[1:])), caps
+    assert max_s_for(512, 262144) == 1024
+    assert max_s_for(1024, 262144) == 1024
