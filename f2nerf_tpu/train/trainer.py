@@ -537,6 +537,7 @@ class Trainer:
         # window sees no bucket switches (no recompiles) — used by bench.py
         self.controller_frozen = False
         self._cur_bucket: int | None = None
+        self.sat_ema = 0.0
         self.psnr_smooth = -1.0
         self.mse_records: list[float] = []
         self._step_cache: dict[tuple, object] = {}
@@ -645,6 +646,11 @@ class Trainer:
                 0.1 * float(stats["n_oct_hits"]) / n_rays
             trunc = float(stats.get("n_trav_truncated", 0.0))
             self.trunc_ema = 0.9 * self.trunc_ema + 0.1 * trunc
+            # fraction of rays whose dense sample buffer hit max_s: any
+            # sustained value means truncated geometry (the iter-5950 cliff
+            # would have shown ~1.0 here) — surfaced in the report line
+            self.sat_ema = 0.9 * self.sat_ema + \
+                0.1 * float(stats.get("n_saturated", 0.0)) / n_rays
             if trunc > 0 and self.hit_cap < self.hit_cap_limit:
                 # rays lost geometry to a full hit buffer: double capacity
                 self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
