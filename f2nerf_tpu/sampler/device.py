@@ -266,7 +266,13 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         u=jnp.zeros((R,), jnp.int32),
         cnt=jnp.zeros((R,), jnp.int32),
         done=t0 >= t_end,
-        eps=jnp.full((R,), eps0),
+        # the ulp floor (see leaf_eps below) applies to the INITIAL eps too:
+        # with eps < ulp(t0), p sits exactly on the root entry plane and f32
+        # rounding can land it outside the child octant — the skip branch
+        # then jumps the whole octant (f_o), silently dropping every leaf in
+        # it (distant-origin rays lost their first ~20 units of geometry)
+        eps=jnp.maximum(jnp.full((R,), eps0), jnp.abs(t0) * 5e-7),
+        last=jnp.full((R,), -1, jnp.int32),
         trunc=jnp.zeros((R,), bool),
         hit_idx=jnp.full((R, max_hits), -1, jnp.int32),
         hit_near=jnp.zeros((R, max_hits)),
@@ -303,8 +309,11 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         n_l, f_l = _slab(c_u, s_u, rays_o, rays_d)
         n_l = jnp.maximum(n_l, near)
         f_l = jnp.minimum(f_l, far)
+        # a ray crosses a convex leaf exactly once, so re-seeing the last
+        # emitted node (corner-bounce root restart, or an eps stall the
+        # ulp floor below didn't cover) is always a duplicate — skip it
         emit = (~done) & (~outside_u) & leaf_u & (tr_u >= 0) & (n_l < f_l) \
-            & (cnt < max_hits)
+            & (cnt < max_hits) & (u != s["last"])
         rows = jnp.arange(R)
         slot = jnp.minimum(cnt, max_hits - 1)
         hit_idx = s["hit_idx"].at[rows, slot].set(
@@ -327,7 +336,20 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         rope_u = sum(jnp.where(face == f, row[6 + f], 0.0)
                      for f in range(6)).astype(jnp.int32)
         leaf_t = jnp.maximum(f_l, t)
-        leaf_eps = jnp.maximum(s_u * 1e-4, eps0)
+        # eps must stay above the f32 ulp of t: deep-subdivided leaves make
+        # s_u*1e-4 smaller than ulp(t) for t beyond ~10, so t+eps == t and
+        # the ray re-enters the same leaf forever — duplicate emits fill the
+        # hit buffer (persistent TravTrunc), geometry beyond the stall point
+        # is lost, and the lockstep loop pays max_hits iterations per batch
+        # (the r4 fox run's IPS collapse). 5e-7 ~ 8 ulps of f32.
+        leaf_eps = jnp.maximum(jnp.maximum(s_u * 1e-4, eps0),
+                               jnp.abs(leaf_t) * 5e-7)
+        # re-seeing the last emitted leaf means the previous eps failed to
+        # move p across the exit plane (grazing ray: position rounding can
+        # swallow eps*|d_axis|) — escalate geometrically so the ray escapes
+        # in O(log) iterations instead of spinning to max_iters
+        leaf_eps = jnp.where(leaf_u & (u == s["last"]),
+                             jnp.maximum(leaf_eps, eps * 4.0), leaf_eps)
 
         # ---- internal: descend or skip empty region
         gex = (p[:, 0] >= row[0]).astype(jnp.int32)
@@ -352,8 +374,9 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         hit_ahead = (c >= 0) & (n_c > t) & (n_c < f_o) & (n_c < f_c)
         skip_t = jnp.where(hit_ahead, n_c, f_o)
         skip_t = jnp.maximum(skip_t, t)
-        skip_eps = jnp.maximum(
-            jnp.where(hit_ahead, c_side, oct_side) * 1e-4, eps0)
+        skip_eps = jnp.maximum(jnp.maximum(
+            jnp.where(hit_ahead, c_side, oct_side) * 1e-4, eps0),
+            jnp.abs(skip_t) * 5e-7)
 
         # ---- merge branches. Leaves exit along their rope (-1 = left the
         # domain); empty-octant skips relocate from u itself (the skip point
@@ -375,9 +398,10 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # buffer filled with ray not at its exit: hits beyond this are lost
         trunc = s["trunc"] | (~done & cap_hit & ~reached_end & ~rope_end)
 
+        new_last = jnp.where(emit, u, s["last"])
         return dict(t=new_t, u=new_u, cnt=cnt, done=new_done, eps=new_eps,
-                    trunc=trunc, hit_idx=hit_idx, hit_near=hit_near,
-                    hit_far=hit_far, it=s["it"] + 1)
+                    last=new_last, trunc=trunc, hit_idx=hit_idx,
+                    hit_near=hit_near, hit_far=hit_far, it=s["it"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
     trunc = out["trunc"] | ~out["done"]  # ~done at exit == hit max_iters

@@ -145,6 +145,38 @@ def test_traversal_matches_brute_force(tree):
             np.testing.assert_allclose(gf, bfar, atol=1e-3)
 
 
+def test_traversal_distant_origin_no_eps_stall(tree):
+    """f32 eps-stall regression (r4 fox collapse): when ulp(t) exceeds
+    leaf_side*1e-4 (origin ~1000+ sides from the scene), t + eps == t and a
+    ray re-enters the same leaf forever — duplicate emits fill the hit
+    buffer (persistent TravTrunc), geometry behind the stall point is lost,
+    and the lockstep loop spins to max_iters. The ulp-proportional eps
+    floor plus the last-leaf dedup guard must keep distant rays exact."""
+    dtree = dv.to_device_tree(tree, 4096, 512, 65536)
+    rng = np.random.RandomState(7)
+    R = 32
+    # origins far along the ray so t at the scene is ~4000 (ulp ~ 4.9e-4,
+    # far above min leaf_side 1.0 * 1e-4)
+    aim = rng.uniform(-2, 2, (R, 3)).astype(np.float32)
+    d = rng.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (aim - 4000.0 * d).astype(np.float32)
+    near = np.full(R, 0.05, np.float32)
+    far = np.full(R, 1e8, np.float32)
+    hit_idx, hit_near, hit_far, n_hits, trunc = dv.traverse(
+        dtree, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+        jnp.asarray(far), max_hits=64)
+    hit_idx, n_hits = np.asarray(hit_idx), np.asarray(n_hits)
+    assert not np.asarray(trunc).any()
+    for r in range(R):
+        got = [hit_idx[r, k] for k in range(n_hits[r])]
+        # no duplicate leaf emits (a ray crosses a convex leaf once)
+        assert len(got) == len(set(got)), f"ray {r}: duplicate emits {got}"
+        bf = [u for (_, _, u) in _brute_force_hits(tree, o[r], d[r],
+                                                   near[r], far[r])]
+        assert got == bf, f"ray {r}: {got} vs brute-force {bf}"
+
+
 def test_ray_march_uniform_steps(tree):
     """With noise == 1 the warp-space step dt must equal sample_l (per
     RayMarchKernel: dt = exp_step * |J d| = sample_l * noise)."""
