@@ -3,8 +3,9 @@
 Equivalent of the reference SH kernel (SHShader.cu:10-106), which hardcodes
 the SH polynomial basis (Sloan, "Stupid SH Tricks" A1). The reference
 supports degree <= 8 but every shipped config uses degree 4 (16 dims,
-confs/shader/sh_shader.yaml); degrees 1-4 are implemented here. Pure jnp
-polynomial evaluation — XLA fuses it into the surrounding shader MLP.
+confs/shader/sh_shader.yaml); degrees 1-4 use the hardcoded table below and
+5-8 the recurrence path (sh_encode_general). Pure jnp polynomial
+evaluation — XLA fuses it into the surrounding shader MLP.
 """
 
 from __future__ import annotations
