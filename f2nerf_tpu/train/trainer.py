@@ -166,6 +166,43 @@ def cap_bucket(x: float) -> int:
     return 2 * p
 
 
+def flat_caps(n_rays: int, max_s: int, pts_local: int,
+              ema_sampled: float, ema_meaningful: float,
+              prev: tuple | None, lo: int):
+    """EMA-driven flat-buffer capacities for one ray bucket.
+
+    cap1 (the dense pre-prefilter buffer) is bounded only by the static
+    worst case ``n_rays * max_s``: raw per-ray sample demand is a marcher
+    property (sample_l, fineness, scene span), not a function of the point
+    budget. An earlier ``2 * pts_batch`` ceiling pinned cap1 at 524,288 on
+    fox: when the controller reached the 3072-ray bucket mid fineness-decay
+    (~175 raw samples/ray wanted vs 524288/3072 = 170.7 allowed), every
+    ray's far tail was truncated and train PSNR collapsed 30.9 -> 23.5 in
+    ~700 iters — and because ``n_sampled`` is measured AFTER truncation,
+    the demand EMA could never exceed cap1/n_rays, deadlocking the cap at
+    the ceiling (the same cliff took the first full run from 28.7 to 16.9:
+    its Samples EMA pinned at exactly 524288/4096 = 128). The reference
+    has no flat cap at all — it allocates exact ragged buffers per step
+    (PersSampler.cu:353-405).
+
+    cap2 (the post-compact field/backward budget) stays bounded by
+    ``pts_local``: that is the actual pts_batch_size training contract.
+
+    ``prev`` (the memoized caps) is kept while it still fits with < 2x
+    waste — every fresh (cap1, cap2) pair is a fresh jit key, and a step
+    compile costs 30-45 s through the TPU tunnel."""
+    hi1 = n_rays * max_s
+    need1 = float(np.clip(1.3 * ema_sampled * n_rays, lo, hi1))
+    need2 = float(np.clip(1.25 * ema_meaningful * n_rays, lo,
+                          min(hi1, pts_local)))
+    if prev and need1 <= prev[0] <= 2.0 * need1 \
+            and need2 <= prev[1] <= 2.0 * need2:
+        return prev
+    cap1 = int(min(cap_bucket(need1), hi1))
+    cap2 = int(min(cap_bucket(need2), cap1, pts_local))
+    return cap1, cap2
+
+
 def render_statics(cfg: dict, n_rays: int, global_near: float,
                    train: bool, max_s: int | None = None,
                    cap1: int | None = None, cap2: int | None = None,
@@ -566,27 +603,17 @@ class Trainer:
         self.tree = dpm.replicate(self.tree, self.mesh)
 
     def _caps(self, n_rays: int, max_s: int):
-        """EMA-driven flat-buffer capacities: the reference allocates exact
-        ragged sizes per step (PersSampler.cu:353-405); with static shapes we
-        bucket to the next power of two over the running sample counts, so
-        padding waste stays < ~2x while jit caches stay warm."""
+        """EMA-driven flat-buffer capacities (see flat_caps): with static
+        shapes we bucket to quarter-power-of-two sizes over the running
+        sample counts, so padding waste stays < ~2x while jit caches stay
+        warm."""
         lo = max(16384 // self.n_shards, 2048)
         pts_local = self.pts_batch // self.n_shards
-        hi1 = min(n_rays * max_s, 2 * pts_local)
-        need1 = float(np.clip(1.3 * self.ema_sampled * n_rays, lo, hi1))
-        need2 = float(np.clip(1.25 * self.ema_meaningful * n_rays, lo,
-                              min(hi1, pts_local)))
-        # hysteresis: keep the previous caps while they still fit and waste
-        # < 2x — every fresh (cap1, cap2) pair is a fresh jit key, and a
-        # step compile costs 30-45 s through the TPU tunnel
-        prev = self._cap_memo.get(n_rays)
-        if prev and need1 <= prev[0] <= 2.0 * need1 \
-                and need2 <= prev[1] <= 2.0 * need2:
-            return prev
-        cap1 = int(min(cap_bucket(need1), hi1))
-        cap2 = int(min(cap_bucket(need2), cap1, pts_local))
-        self._cap_memo[n_rays] = (cap1, cap2)
-        return cap1, cap2
+        caps = flat_caps(n_rays, max_s, pts_local,
+                         self.ema_sampled, self.ema_meaningful,
+                         self._cap_memo.get(n_rays), lo)
+        self._cap_memo[n_rays] = caps
+        return caps
 
     def _get_step(self, n_rays: int, chunk: int = 1):
         """n_rays is the GLOBAL bucket; statics/capacities are built for the
@@ -638,8 +665,14 @@ class Trainer:
         """Fold one step's (device-side) aux into host EMAs/records."""
         stats = aux["stats"]
         if not self.controller_frozen:
+            # demand = landed + overflowed: when the flat dense buffer
+            # saturates, n_sampled alone is capped at cap1 and the EMA
+            # (hence cap1 itself) could never grow out of saturation —
+            # overflow_a counts exactly the samples the marcher produced
+            # but the buffer dropped (see flat_caps)
             self.ema_sampled = 0.9 * self.ema_sampled + \
-                0.1 * float(stats["n_sampled"]) / n_rays
+                0.1 * float(stats["n_sampled"] +
+                            stats.get("overflow_a", 0.0)) / n_rays
             self.ema_meaningful = 0.9 * self.ema_meaningful + \
                 0.1 * float(stats["n_meaningful"]) / n_rays
             self.ema_oct = 0.9 * self.ema_oct + \

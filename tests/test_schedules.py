@@ -84,3 +84,31 @@ def test_max_s_floor_across_buckets():
     assert all(a >= b for a, b in zip(caps, caps[1:])), caps
     assert max_s_for(512, 262144) == 1024
     assert max_s_for(1024, 262144) == 1024
+
+
+def test_flat_cap1_not_ceilinged_by_pts_batch():
+    """cap1 must track raw marcher demand, not the point budget: the old
+    2*pts_batch ceiling pinned cap1 at 524288 on fox (3072-ray bucket,
+    ~175 raw samples/ray wanted vs 170.7 allowed), truncating every ray's
+    far tail (train PSNR 30.9 -> 23.5, r4fix run iter 5200-5900) and
+    deadlocking the demand EMA at cap1/n_rays."""
+    from f2nerf_tpu.train.trainer import flat_caps
+
+    pts_local = 262144
+    # the observed failure point: demand 175/ray at the 3072 bucket
+    cap1, cap2 = flat_caps(3072, 512, pts_local,
+                           ema_sampled=175.0, ema_meaningful=80.0,
+                           prev=None, lo=2048)
+    assert cap1 >= int(1.3 * 175.0 * 3072), (cap1, cap2)  # no truncation
+    assert cap1 > 2 * pts_local  # the old ceiling must be gone
+    assert cap2 <= pts_local     # field budget still honors pts_batch
+    # static worst case still bounds cap1
+    assert cap1 <= 3072 * 512
+
+    # saturation unsticking: with the EMA fed landed+overflow the demand
+    # estimate exceeds the old cap, so the memoized pair is invalidated
+    prev = (524288, 262144)
+    cap1b, _ = flat_caps(3072, 512, pts_local,
+                         ema_sampled=175.0, ema_meaningful=80.0,
+                         prev=prev, lo=2048)
+    assert cap1b > prev[0]
