@@ -67,26 +67,3 @@ def local_index(ray_id: jnp.ndarray, n_rays: int) -> jnp.ndarray:
     is_first = first_flags_from_ray_id(ray_id, n_rays)
     ones = jnp.ones_like(ray_id, dtype=jnp.float32)
     return segment_cumsum(ones, is_first, exclusive=True).astype(jnp.int32)
-
-
-def make_ray_id(counts: jnp.ndarray, cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-sample ray ids from per-ray counts.
-
-    counts: [n_rays] int32 (sum <= cap). Returns (ray_id [cap] with padding
-    rows = n_rays, is_first [cap] bool).
-    """
-    n_rays = counts.shape[0]
-    starts = jnp.cumsum(counts) - counts  # exclusive
-    total = jnp.sum(counts)
-    # ray_id[k] = number of starts <= k among rays with count>0 ... use scatter:
-    # +1 at every ray's start (including empty rays: they share the start of
-    # the next ray, so cumsum-1 lands on the LAST ray starting at <= k, which
-    # is the non-empty one).
-    seg = jnp.zeros((cap,), jnp.int32).at[starts].add(1, mode="drop")
-    ray_id = jnp.cumsum(seg) - 1
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    ray_id = jnp.where(pos < total, ray_id, n_rays)
-    nonempty_starts = jnp.where(counts > 0, starts, cap)
-    first_mark = jnp.zeros((cap,), jnp.int32).at[nonempty_starts].add(1, mode="drop")
-    is_first = jnp.logical_and(pos < total, first_mark > 0)
-    return ray_id.astype(jnp.int32), is_first

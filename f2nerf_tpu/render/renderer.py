@@ -381,6 +381,10 @@ def render(params: dict, consts: dict, tree: dv.DeviceTree,
             n_sampled=jnp.sum(ok_a.astype(jnp.float32)),
             n_meaningful=n_keep,
             n_oct_hits=jnp.sum(n_hits.astype(jnp.float32)),
+            # per-batch max hits/ray: drives proactive hit-buffer growth
+            # (recompile BEFORE truncation instead of after) — combined with
+            # pmax, not psum, across data-parallel shards
+            max_oct_hits=jnp.max(n_hits).astype(jnp.float32),
             overflow_a=jnp.sum(n_s.astype(jnp.float32)) - jnp.sum(ok_a.astype(jnp.float32)),
             n_saturated=jnp.sum((n_s >= st.max_s).astype(jnp.float32)),
             n_trav_truncated=jnp.sum(trav_trunc.astype(jnp.float32)),

@@ -311,9 +311,14 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         f_l = jnp.minimum(f_l, far)
         # a ray crosses a convex leaf exactly once, so re-seeing the last
         # emitted node (corner-bounce root restart, or an eps stall the
-        # ulp floor below didn't cover) is always a duplicate — skip it
+        # ulp floor below didn't cover) is always a duplicate — skip it.
+        # `f_l > t` additionally gates emission on forward progress: in a
+        # multi-leaf stall cycle (see leaf_progress below) a valid leaf
+        # already passed (f_l <= t) would otherwise re-emit every cycle
+        # because `last` ping-pongs between the cycle's leaves.
+        leaf_progress = f_l > t
         emit = (~done) & (~outside_u) & leaf_u & (tr_u >= 0) & (n_l < f_l) \
-            & (cnt < max_hits) & (u != s["last"])
+            & leaf_progress & (cnt < max_hits) & (u != s["last"])
         rows = jnp.arange(R)
         slot = jnp.minimum(cnt, max_hits - 1)
         hit_idx = s["hit_idx"].at[rows, slot].set(
@@ -344,12 +349,22 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         # (the r4 fox run's IPS collapse). 5e-7 ~ 8 ulps of f32.
         leaf_eps = jnp.maximum(jnp.maximum(s_u * 1e-4, eps0),
                                jnp.abs(leaf_t) * 5e-7)
-        # re-seeing the last emitted leaf means the previous eps failed to
-        # move p across the exit plane (grazing ray: position rounding can
-        # swallow eps*|d_axis|) — escalate geometrically so the ray escapes
-        # in O(log) iterations instead of spinning to max_iters
-        leaf_eps = jnp.where(leaf_u & (u == s["last"]),
-                             jnp.maximum(leaf_eps, eps * 4.0), leaf_eps)
+        # A leaf visit with NO t-progress (f_l <= t: the slab says the ray
+        # already passed this leaf, yet position rounding point-located p
+        # back inside it) means the previous eps failed to carry p across
+        # the stall plane (grazing ray: eps*|d_axis| below ulp(p_axis)) —
+        # escalate geometrically, and never below the carried eps, so the
+        # ray escapes in O(log) iterations instead of spinning to
+        # max_iters. Keying escalation on no-progress (rather than on
+        # re-seeing the last emitted/visited leaf) is what handles BOTH
+        # observed stall shapes: (a) a stall on an emit-ineligible culled
+        # leaf, which never updates `last` (the r4 fox post-milestone IPS
+        # collapse, 3.9 -> 0.55 by iter 8500, and its residual TravTrunc),
+        # and (b) a corner cycle alternating between TWO leaves, where any
+        # last-X check ping-pongs and a per-leaf eps reset even shrinks eps
+        # each cycle (tests/test_sampler.py grazing-ray regression).
+        leaf_eps = jnp.where(leaf_progress, leaf_eps,
+                             jnp.maximum(leaf_eps, eps * 4.0))
 
         # ---- internal: descend or skip empty region
         gex = (p[:, 0] >= row[0]).astype(jnp.int32)
@@ -391,6 +406,13 @@ def traverse(tree: DeviceTree, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                                               jnp.where(inside_c, c, u))))
         new_eps = jnp.where(done | outside_u | inside_c, eps,
                             jnp.where(leaf_u, leaf_eps, skip_eps))
+        # internal-skip stall: staying at the same internal node with t
+        # unmoved (f_o <= t from fp rounding past the octant exit) would
+        # otherwise creep at the ulp floor — escalate geometrically too
+        skip_stall = (~done) & (~outside_u) & (~leaf_u) & (~inside_c) & \
+            (new_t <= t)
+        new_eps = jnp.where(skip_stall, jnp.maximum(new_eps, eps * 4.0),
+                            new_eps)
         rope_end = (~done) & (~outside_u) & leaf_u & (rope_u < 0)
         reached_end = ~inside_c & ~outside_u & ((new_t + new_eps) >= t_end)
         cap_hit = cnt >= max_hits

@@ -58,22 +58,27 @@ def pick_bucket(n: float) -> int:
 
 
 def pick_bucket_hysteresis(want: float, cur: int | None) -> int:
-    """Bucket pick with a 10% dead band around the current bucket.
+    """Bucket pick with a 5% dead band around the current bucket.
 
     When the meaningful-samples EMA sits right at a bucket boundary the raw
     pick flips every few steps (observed 2048<->3072 thrash on fox at
     meaningful/ray ~85), alternating between two compiled chunks. Only
-    leave `cur` once `want` clears the boundary by 10% in the direction of
-    travel."""
+    leave `cur` once `want` clears the boundary by 5% in the direction of
+    travel. 5%, not the original 10%: at the fox steady state (meaningful
+    ~20/ray -> want ~13107, the reference's ~13k-ray operating point,
+    ExpRunner.cpp:86) a 10% band pinned the controller at 8192 forever
+    (13107 < 1.1 * 12288), costing ~35% of the steady-state batch; the up
+    (1.05 * next) and down (0.95 * cur) thresholds can never overlap across
+    a ~1.4x-spaced bucket ladder, so flapping stays impossible."""
     b = pick_bucket(want)
     if cur is not None and b != cur:
         if b > cur:
             # the band guards the first boundary above cur, so a decisive
             # multi-bucket jump still lands on the raw pick
             nxt = next((x for x in BUCKETS if x > cur), b)
-            if want < 1.1 * nxt:
+            if want < 1.05 * nxt:
                 b = cur
-        elif want > 0.9 * cur:
+        elif want > 0.95 * cur:
             b = cur
     return b
 
@@ -168,7 +173,7 @@ def cap_bucket(x: float) -> int:
 
 def flat_caps(n_rays: int, max_s: int, pts_local: int,
               ema_sampled: float, ema_meaningful: float,
-              prev: tuple | None, lo: int):
+              prev: tuple | None, lo: int, cap1_mult: int = 16):
     """EMA-driven flat-buffer capacities for one ray bucket.
 
     cap1 (the dense pre-prefilter buffer) is bounded only by the static
@@ -190,14 +195,42 @@ def flat_caps(n_rays: int, max_s: int, pts_local: int,
 
     ``prev`` (the memoized caps) is kept while it still fits with < 2x
     waste — every fresh (cap1, cap2) pair is a fresh jit key, and a step
-    compile costs 30-45 s through the TPU tunnel."""
-    hi1 = n_rays * max_s
-    need1 = float(np.clip(1.3 * ema_sampled * n_rays, lo, hi1))
+    compile costs 30-45 s through the TPU tunnel.
+
+    ``cap1_mult`` bounds cap1 absolutely at cap1_mult * pts_local: with no
+    ceiling at all, pathological demand (~1.3 * demand * n_rays; worst case
+    n_rays * max_s = 16.7M points at the 32768 bucket) could OOM the dense
+    stage-A buffer + prefilter field eval. Demand above the ceiling now
+    degrades OBSERVABLY (a warning + the overflow_a/TravTrunc stats)
+    instead of unboundedly; the deadlock the old 2x ceiling caused cannot
+    recur because the demand EMA is measured pre-truncation
+    (overflow_a is added back in _ingest_aux).
+
+    The default 16 is calibrated so the ceiling NEVER binds below the
+    16384-ray bucket (there ``n_rays * max_s == 16 * pts_local`` exactly,
+    since max_s floors at 512): behavior is identical to the pre-ceiling
+    code in every regime observed on fox, while the 32768-ray worst case
+    is still bounded 4x tighter (4.2M vs 16.7M points). An 8x default
+    regressed the fox-240 gate: with the test's shrunk pts_batch (16384)
+    the ceiling (131072) halved the dense buffer below early-fineness
+    demand (~340k) and silently truncated every ray's far tail."""
+    ceil_abs = max(cap1_mult * pts_local, lo)
+    hi1 = min(n_rays * max_s, ceil_abs)
+    raw_need1 = 1.3 * ema_sampled * n_rays
+    need1 = float(np.clip(raw_need1, lo, hi1))
     need2 = float(np.clip(1.25 * ema_meaningful * n_rays, lo,
                           min(hi1, pts_local)))
     if prev and need1 <= prev[0] <= 2.0 * need1 \
             and need2 <= prev[1] <= 2.0 * need2:
         return prev
+    # warn only on an actual cap rebuild (not every memoized call), and only
+    # when the ABSOLUTE ceiling (not the natural n_rays*max_s bound) is what
+    # truncates demand
+    if raw_need1 > ceil_abs and ceil_abs < n_rays * max_s:
+        print(f"[flat_caps] WARNING: sample demand {raw_need1:.0f} exceeds "
+              f"the cap1 ceiling {ceil_abs} ({cap1_mult}x pts_batch); the "
+              f"dense buffer will truncate observably (overflow_a stat).",
+              flush=True)
     cap1 = int(min(cap_bucket(need1), hi1))
     cap2 = int(min(cap_bucket(need2), cap1, pts_local))
     return cap1, cap2
@@ -310,7 +343,8 @@ def make_core(cfg: dict, statics: RenderStatics, height: int, width: int,
             occ = {k: jax.lax.pmax(v, "data") for k, v in occ.items()}
             # scalar metrics: losses averaged, count stats summed
             aux = dict(aux)
-            stats = {k: jax.lax.psum(v, "data")
+            stats = {k: (jax.lax.pmax(v, "data") if k == "max_oct_hits"
+                         else jax.lax.psum(v, "data"))
                      for k, v in aux.pop("stats").items()}
             aux = {k: jax.lax.pmean(v, "data") for k, v in aux.items()}
             aux["stats"] = stats
@@ -523,15 +557,37 @@ class Trainer:
             want = int(dp_cfg)
         self.mesh = None
         self.n_shards = 1
+        # multi-host (DCN): with `jax.distributed` initialized, the mesh
+        # spans every process's devices and each process loads only its own
+        # camera slice (SURVEY.md §2.3). All controller/host logic below
+        # consumes only REPLICATED outputs (pmean'd aux, psum'd stats), so
+        # every process walks identical bucket/cap schedules and compiles
+        # identical jit keys — no cross-host control channel needed.
+        self._multihost = jax.process_count() > 1
         if want > 1:
             from ..parallel import data_parallel as dpm
-            self.mesh = dpm.make_mesh(want)
+            if self._multihost:
+                self.mesh = dpm.make_global_mesh()
+            else:
+                self.mesh = dpm.make_mesh(want)
             self.n_shards = int(self.mesh.devices.size)
 
-        self.data = self.dataset.device_arrays(n_shards=self.n_shards)
-        if self.mesh is not None:
+        if self.mesh is not None and self._multihost:
             from ..parallel import data_parallel as dpm
-            self.data = dpm.shard_data(self.data, self.mesh)
+            n_pad = len(self.dataset.train_set)
+            if n_pad % self.n_shards:
+                n_pad += self.n_shards - n_pad % self.n_shards
+            per = n_pad // jax.process_count()
+            rows = slice(jax.process_index() * per,
+                         (jax.process_index() + 1) * per)
+            local = self.dataset.device_arrays(n_shards=self.n_shards,
+                                               process_rows=rows)
+            self.data = dpm.shard_data_multihost(local, self.mesh)
+        else:
+            self.data = self.dataset.device_arrays(n_shards=self.n_shards)
+            if self.mesh is not None:
+                from ..parallel import data_parallel as dpm
+                self.data = dpm.shard_data(self.data, self.mesh)
         if not self.data_at_gpu:
             # host data-loader mode: pixels gathered on host per batch
             # (native multithreaded path), only camera metadata on device
@@ -569,6 +625,7 @@ class Trainer:
         # bound, PersSampler.cu:8-9) instead of the old silent 64 clamp
         self.hit_cap_limit = int(cfg["pts_sampler"]["max_oct_intersect_per_ray"])
         self.hit_cap = min(64, self.hit_cap_limit)
+        self.oct_max = 0.0   # observed per-step max hits/ray (see _ingest_aux)
         self.trunc_ema = 0.0
         # freeze_controller(): stop the batch-size/capacity EMAs so a timing
         # window sees no bucket switches (no recompiles) — used by bench.py
@@ -611,7 +668,9 @@ class Trainer:
         pts_local = self.pts_batch // self.n_shards
         caps = flat_caps(n_rays, max_s, pts_local,
                          self.ema_sampled, self.ema_meaningful,
-                         self._cap_memo.get(n_rays), lo)
+                         self._cap_memo.get(n_rays), lo,
+                         cap1_mult=int(self.cfg.get("capacity", {})
+                                       .get("cap1_mult", 16)))
         self._cap_memo[n_rays] = caps
         return caps
 
@@ -679,6 +738,15 @@ class Trainer:
                 0.1 * float(stats["n_oct_hits"]) / n_rays
             trunc = float(stats.get("n_trav_truncated", 0.0))
             self.trunc_ema = 0.9 * self.trunc_ema + 0.1 * trunc
+            # observed worst-case hits/ray: grow the hit buffer BEFORE any
+            # ray truncates (the after-the-fact doubling below is only the
+            # backstop; a mid-run recompile while training is degraded was
+            # the r4 failure mode)
+            self.oct_max = max(self.oct_max,
+                               float(stats.get("max_oct_hits", 0.0)))
+            if self.oct_max > 0.9 * self.hit_cap and \
+                    self.hit_cap < self.hit_cap_limit:
+                self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
             # fraction of rays whose dense sample buffer hit max_s: any
             # sustained value means truncated geometry (the iter-5950 cliff
             # would have shown ~1.0 here) — surfaced in the report line
@@ -808,6 +876,15 @@ class Trainer:
         self.tree_host = dv.sync_host_tree(self.tree_host, self.tree)
         self.tree_host, changed = oc.maintain(
             self.tree_host, self.iter_step, self.compact_freq, intri, w2c, bounds)
+        if need_milestone and not self.controller_frozen:
+            # 8-way subdivision halves leaf sides: worst-case hits/ray about
+            # doubles. Pre-size the hit buffer from the observed max NOW (a
+            # natural recompile boundary) so no mid-chunk truncation-driven
+            # recompile degrades training later; decay oct_max so a stale
+            # pre-milestone peak doesn't compound across milestones.
+            want = pow2ceil(2.0 * max(self.oct_max, 1.0))
+            self.hit_cap = min(max(self.hit_cap, want), self.hit_cap_limit)
+            self.oct_max = self.oct_max * 0.5
         if changed:
             self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                           self.max_trans, self.max_edges)
@@ -852,6 +929,10 @@ class Trainer:
     # ------------------------------------------------------------- checkpoints
 
     def save_checkpoint(self):
+        # multi-host: state is bitwise replicated, so only process 0 writes
+        # (all processes would race on a shared filesystem otherwise)
+        if jax.process_index() != 0:
+            return
         out_dir = os.path.join(self.base_exp_dir, "checkpoints",
                                f"{self.iter_step:08d}")
         os.makedirs(out_dir, exist_ok=True)
@@ -926,7 +1007,8 @@ class Trainer:
         return self._eval_fns[key]
 
     def render_image(self, rays_o: np.ndarray, rays_d: np.ndarray,
-                     chunk: int = 4096, max_s: int = 512, max_s_hi: int = 1024):
+                     chunk: int | None = None, max_s: int = 512,
+                     max_s_hi: int = 1024):
         """Chunked no-grad whole-image render. Returns (colors, disparity,
         first_oct_disp) as numpy [n_rays, ...].
 
@@ -934,7 +1016,15 @@ class Trainer:
         training sample EMA first; any chunk reporting truncation (flat
         overflow or a ray at the dense cap) is re-rendered with exact
         capacities. All chunks are dispatched before fetching (hides the
-        per-call host<->device round trip)."""
+        per-call host<->device round trip).
+
+        Default chunk 16384 (configurable via ``eval.chunk``): the train
+        pipeline measured ~5x the rays/s at 16k rays vs the 2-4k buckets
+        (BENCHMARKS.md r2 scaling table) and a whole fox image is then 32
+        dispatches instead of 127 through the ~45 ms tunnel. The reference
+        renders 8192-ray eval chunks (ExpRunner.cpp:257-293)."""
+        if chunk is None:
+            chunk = int(self.cfg.get("eval", {}).get("chunk", 16384))
         cap_fast = cap_bucket(min(max(2.0 * self.ema_sampled, 64.0) * chunk,
                                   chunk * max_s))
         fast = self._eval_fn_for(chunk, max_s, cap_fast)

@@ -18,7 +18,9 @@ import sys
 from glob import glob
 
 import numpy as np
-import scipy.signal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from f2nerf_tpu.utils.metrics import make_lpips, rgb_ssim  # noqa: E402
 
 
 def glob_images(image_dir):
@@ -36,52 +38,6 @@ def read_image(path):
 def psnr(gt_u8: np.ndarray, pd_u8: np.ndarray) -> float:
     mse = np.mean((gt_u8.astype(np.float64) - pd_u8.astype(np.float64)) ** 2)
     return float(20.0 * np.log10(255.0 / np.sqrt(max(mse, 1e-12))))
-
-
-def rgb_ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
-             k1=0.01, k2=0.03):
-    """Separable-gaussian SSIM over RGB, mip-NeRF semantics."""
-    hw = filter_size // 2
-    shift = np.arange(filter_size) - hw
-    f_i = np.exp(-0.5 * (shift / filter_sigma) ** 2)
-    f_i /= f_i.sum()
-
-    def blur(z):
-        z = scipy.signal.convolve2d(z, f_i[:, None], mode="valid")
-        return scipy.signal.convolve2d(z, f_i[None, :], mode="valid")
-
-    c1 = (k1 * max_val) ** 2
-    c2 = (k2 * max_val) ** 2
-    ssim_vals = []
-    for ch in range(img0.shape[-1]):
-        x, y = img0[..., ch], img1[..., ch]
-        mu0, mu1 = blur(x), blur(y)
-        s00 = blur(x * x) - mu0 ** 2
-        s11 = blur(y * y) - mu1 ** 2
-        s01 = blur(x * y) - mu0 * mu1
-        s00, s11 = np.maximum(0.0, s00), np.maximum(0.0, s11)
-        ssim_map = ((2 * mu0 * mu1 + c1) * (2 * s01 + c2)) / \
-            ((mu0 ** 2 + mu1 ** 2 + c1) * (s00 + s11 + c2))
-        ssim_vals.append(ssim_map.mean())
-    return float(np.mean(ssim_vals))
-
-
-def make_lpips():
-    try:
-        import lpips
-        import torch
-        net = lpips.LPIPS(net="vgg")
-
-        def fn(gt, pd):
-            def conv(x):
-                t = torch.from_numpy(x / 255.0 * 2.0 - 1.0).float()
-                return t.permute(2, 0, 1)[None]
-            with torch.no_grad():
-                return float(net(conv(gt), conv(pd)).item())
-        return fn
-    except ImportError:
-        print("lpips package unavailable; skipping LPIPS", file=sys.stderr)
-        return None
 
 
 def main():

@@ -121,9 +121,33 @@ def test_local_index():
     np.testing.assert_array_equal(li[:9], [0, 1, 2, 0, 1, 0, 1, 2, 3])
 
 
+def _make_ray_id(counts: jnp.ndarray, cap: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample ray ids from per-ray counts (test-local helper; moved out
+    of ops.segment — no production caller).
+
+    counts: [n_rays] int32 (sum <= cap). Returns (ray_id [cap] with padding
+    rows = n_rays, is_first [cap] bool).
+    """
+    n_rays = counts.shape[0]
+    starts = jnp.cumsum(counts) - counts  # exclusive
+    total = jnp.sum(counts)
+    # ray_id[k] = number of starts <= k among rays with count>0 ... use scatter:
+    # +1 at every ray's start (including empty rays: they share the start of
+    # the next ray, so cumsum-1 lands on the LAST ray starting at <= k, which
+    # is the non-empty one).
+    seg = jnp.zeros((cap,), jnp.int32).at[starts].add(1, mode="drop")
+    ray_id = jnp.cumsum(seg) - 1
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    ray_id = jnp.where(pos < total, ray_id, n_rays)
+    nonempty_starts = jnp.where(counts > 0, starts, cap)
+    first_mark = jnp.zeros((cap,), jnp.int32).at[nonempty_starts].add(1, mode="drop")
+    is_first = jnp.logical_and(pos < total, first_mark > 0)
+    return ray_id.astype(jnp.int32), is_first
+
+
 def test_make_ray_id_matches_counts():
     counts = jnp.asarray(np.array([3, 0, 2, 4, 0], np.int32))
-    ray_id, is_first = segment.make_ray_id(counts, 12)
+    ray_id, is_first = _make_ray_id(counts, 12)
     np.testing.assert_array_equal(np.asarray(ray_id)[:9], [0, 0, 0, 2, 2, 3, 3, 3, 3])
     assert np.all(np.asarray(ray_id)[9:] == 5)
     np.testing.assert_array_equal(np.nonzero(np.asarray(is_first))[0], [0, 3, 5])

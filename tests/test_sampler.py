@@ -406,3 +406,64 @@ def test_ray_march_parallel_degenerate_invalid_hits_stay_finite():
     assert n_s[0] > 0
     assert np.isfinite(out_t).all() and np.isfinite(out_dt).all()
     np.testing.assert_allclose(out_dt[0, : n_s[0]], 1.0 / 16, rtol=1e-4)
+
+
+def test_traversal_grazing_ray_stalls_escalate(tree):
+    """r5 regression (the r4 post-milestone IPS collapse + residual
+    TravTrunc): rays nearly parallel to a cell face (|d_axis| ~ 1e-6),
+    positioned so position rounding swallows eps*|d_axis|, used to spin the
+    lockstep while_loop to max_iters — billing the whole batch every step.
+    Two stall shapes existed: (a) a stall on an emit-INeligible culled leaf
+    (the old escalation keyed on the last EMITTED leaf, which such a leaf
+    never becomes), and (b) a corner cycle alternating between TWO leaves
+    (any last-X check ping-pongs; the per-leaf eps reset even shrank eps
+    each cycle). The fix escalates on NO T-PROGRESS leaf visits, which
+    subsumes both. Pre-fix, 141/430 of these rays truncate at
+    max_iters=600; post-fix all 430 must finish with no duplicate emits
+    and hits in brute-force order (grazing slivers may be skipped by the
+    escalation — acceptable only on these measure-zero alignments; exact
+    parity for generic rays is pinned by the two tests above)."""
+    import dataclasses
+    culled = dataclasses.replace(tree)
+    culled.trans_idx = tree.trans_idx.copy()
+    rng = np.random.RandomState(11)
+    valid = np.nonzero(culled.trans_idx >= 0)[0]
+    # cull 60% of valid leaves, as mid-window occupancy voting does
+    kill = rng.choice(valid, size=int(0.6 * len(valid)), replace=False)
+    culled.trans_idx[kill] = -1
+    dtree = dv.to_device_tree(culled, 4096, 512, 65536)
+
+    culled_leaves = [u for u in kill if culled.is_leaf[u]]
+    os_, ds_ = [], []
+    for u in culled_leaves[:256]:
+        c = culled.center[u].astype(np.float64)
+        s = float(culled.side[u])
+        for dz in (1e-6, 1e-5, 1e-4, -1e-6, -1e-5):
+            d = np.array([1.0, 0.0, dz])
+            d /= np.linalg.norm(d)
+            t_entry = 5.0
+            face = c[2] + s / 2 if dz > 0 else c[2] - s / 2
+            os_.append(np.array([c[0] - t_entry, c[1],
+                                 face - np.sign(dz) * 3e-6 - d[2] * t_entry]))
+            ds_.append(d)
+    o = np.asarray(os_, np.float32)
+    d = np.asarray(ds_, np.float32)
+    R = o.shape[0]
+    near = np.full(R, 0.05, np.float32)
+    far = np.full(R, 1e8, np.float32)
+    # tight iteration budget: a single non-escalating stall blows it and
+    # surfaces as trunc (~done at max_iters)
+    hit_idx, hit_near, hit_far, n_hits, trunc = dv.traverse(
+        dtree, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+        jnp.asarray(far), max_hits=64, max_iters=600)
+    hit_idx, n_hits = np.asarray(hit_idx), np.asarray(n_hits)
+    assert not np.asarray(trunc).any(), \
+        f"{int(np.asarray(trunc).sum())}/{R} grazing rays stalled"
+    for r in range(R):
+        got = [hit_idx[r, k] for k in range(n_hits[r])]
+        assert len(got) == len(set(got)), f"ray {r}: duplicate emits {got}"
+        bf = [u for (_, _, u) in _brute_force_hits(culled, o[r], d[r],
+                                                   near[r], far[r])]
+        it = iter(bf)
+        assert all(g in it for g in got), \
+            f"ray {r}: {got} not a subsequence of brute-force {bf}"
