@@ -101,7 +101,8 @@ class Dataset:
 
     # ------------------------------------------------------------- device side
 
-    def device_arrays(self, n_shards: int = 1) -> dict:
+    def device_arrays(self, n_shards: int = 1,
+                      process_rows: slice | None = None) -> dict:
         """Arrays consumed by the jitted train/render steps.
 
         Camera metadata is tiny and replicated; the (large) training-image
@@ -110,17 +111,33 @@ class Dataset:
         1/n_shards of the pixels and samples rays only from its own cameras
         (padding repeats leading cameras; with shards << cameras the
         duplicate-sampling bias is negligible).
+
+        ``process_rows`` (multi-host/DCN): keep only this process's slice of
+        the camera rows, as HOST numpy — the caller assembles the global
+        sharded array via `parallel.data_parallel.shard_data_multihost`, so
+        no host ever materializes or uploads the full pool (SURVEY.md §2.3).
         """
+        ids = self.train_set
+        if n_shards > 1 and len(ids) % n_shards:
+            pad = n_shards - len(ids) % n_shards
+            ids = np.concatenate([ids, ids[:pad]])
+        if process_rows is not None:
+            # everything stays HOST numpy: device-committed arrays can't be
+            # device_put to a global sharding across processes —
+            # shard_data_multihost owns all device placement
+            out = dict(poses=self.poses, intri=self.intri, dist=self.dist,
+                       bounds=self.bounds)
+            ids = ids[process_rows]
+            out["train_ids"] = np.asarray(ids, np.int32)
+            if self.images is not None:
+                out["train_images"] = self.images[ids]
+            return out
         out = dict(
             poses=jnp.asarray(self.poses),
             intri=jnp.asarray(self.intri),
             dist=jnp.asarray(self.dist),
             bounds=jnp.asarray(self.bounds),
         )
-        ids = self.train_set
-        if n_shards > 1 and len(ids) % n_shards:
-            pad = n_shards - len(ids) % n_shards
-            ids = np.concatenate([ids, ids[:pad]])
         out["train_ids"] = jnp.asarray(ids.astype(np.int32))
         if self.images is not None:
             out["train_images"] = jnp.asarray(self.images[ids])

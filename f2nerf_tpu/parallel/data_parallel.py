@@ -101,6 +101,15 @@ def shard_data(data: dict, mesh: Mesh) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a (host or single-device) pytree onto every mesh device.
+
+    Multi-host: a device-committed local array can't be device_put straight
+    to a global sharding (the target spans non-addressable devices), so leaves
+    are dropped to host numpy first — every process holds an identical copy
+    by construction (replicated inputs + deterministic host logic), which is
+    exactly the contract `device_put(np, global-replicated)` requires."""
+    if jax.process_count() > 1:
+        tree = jax.tree_util.tree_map(np.asarray, tree)
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
