@@ -93,7 +93,7 @@ def main():
         cands = [ckpt_env] if ckpt_env else []
         cands += [os.path.join(_REPO, "exp", "ngp_fox", e,
                                "checkpoints", "latest")
-                  for e in ("r4fix", "r4full", "r3full", "r2long")]
+                  for e in ("r5full", "r4fix", "r4full", "r3full", "r2long")]
         ckpt = next((c for c in cands if c and os.path.isdir(c)), None)
     if ckpt:
         tr.load_checkpoint(ckpt)

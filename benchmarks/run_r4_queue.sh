@@ -12,6 +12,11 @@ cd "$(dirname "$0")/.."
 EXP=${1:-r4fix}
 CKDIR=exp/ngp_fox/${EXP}/checkpoints
 LATEST=$(readlink -f "${CKDIR}/latest" 2>/dev/null || true)
+# readlink -f succeeds when only the final component is missing: with a
+# checkpoints dir but no 'latest' symlink, LATEST would be a non-empty
+# dangling path and bench.py would silently fall back to a different
+# experiment's checkpoint — require an existing directory
+[ -d "${LATEST}" ] || LATEST=""
 
 # --- item 2: multi-state bench (steady-state throughput at 5k/10k/latest)
 for IT in 00005000 00010000; do

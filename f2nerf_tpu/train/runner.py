@@ -79,11 +79,15 @@ class Runner:
         # reference has no equivalent (a killed ExpRunner loses everything
         # since its single end_iter save, ExpRunner.cpp:180-186).
         import signal
+        import threading
         stop_sig = {"n": None}
         prev_handlers = {}
-        for _sig in (signal.SIGTERM, signal.SIGINT):
-            prev_handlers[_sig] = signal.signal(
-                _sig, lambda n, f: stop_sig.__setitem__("n", n))
+        # signal.signal raises off the main thread; skip the graceful-stop
+        # hook there (a worker-thread train() still trains, just without it)
+        if threading.current_thread() is threading.main_thread():
+            for _sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[_sig] = signal.signal(
+                    _sig, lambda n, f: stop_sig.__setitem__("n", n))
         # device-level tracing: F2_JAX_PROFILE=<dir> captures a jax.profiler
         # trace of the first ~20 post-warmup iterations (TPU equivalent of
         # the reference's #ifdef PROFILE ScopeWatch instrumentation)
@@ -91,6 +95,29 @@ class Runner:
         prof_window = (30, 50) if prof_dir else None
         freqs = [self.report_freq, self.vis_freq, self.stats_freq,
                  self.save_freq]
+        try:
+            self._train_loop(tr, freqs, stop_sig, prof_dir, prof_window,
+                             t_report)
+        finally:
+            # an exception mid-loop must not leave the swallow-and-flag
+            # handlers installed (later SIGINT/SIGTERM would be ignored)
+            for _sig, _h in prev_handlers.items():
+                signal.signal(_sig, _h)
+        if stop_sig["n"] is not None:
+            print(f"Graceful stop (signal {stop_sig['n']}) at iter "
+                  f"{tr.iter_step}; saving state.", flush=True)
+        # final state must always be on disk, whether or not end_iter lands
+        # on the save cadence (the reference saves only at end_iter,
+        # ExpRunner.cpp:180-186)
+        if stop_sig["n"] is not None or self.end_iter % self.save_freq != 0:
+            tr.save_checkpoint()
+        with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
+            f.write(f"{time.time() - t_start}\n")
+        print("Train done, test.", flush=True)
+        self.test_images()
+
+    def _train_loop(self, tr, freqs, stop_sig, prof_dir, prof_window,
+                    t_report):
         while tr.iter_step < self.end_iter and stop_sig["n"] is None:
             if prof_window and prof_window[0] is not None \
                     and tr.iter_step >= prof_window[0]:
@@ -112,12 +139,27 @@ class Runner:
             if step % self.stats_freq == 0:
                 np.save(os.path.join(self.base_exp_dir, "stats.npy"),
                         np.asarray(tr.mse_records, np.float32))
+            # checkpoint BEFORE the vis render: the vis is the riskiest
+            # device call at a cadence step (fresh eval compile, biggest
+            # buffers) — the r5full run lost 1.3 h of unsaved state to a
+            # tunnel wedge inside the iter-2500 vis that a save-first
+            # ordering would have bounded at one save_freq window
+            if step % self.save_freq == 0:
+                tr.save_checkpoint()
             if step % self.vis_freq == 0 and len(tr.dataset.test_set):
                 vis_idx = int(tr.dataset.test_set[
                     (step // self.vis_freq) % len(tr.dataset.test_set)])
-                self.visualize_image(vis_idx)
-            if step % self.save_freq == 0:
-                tr.save_checkpoint()
+                try:
+                    t_vis = time.time()
+                    self.visualize_image(vis_idx)
+                    print(f"[vis] image {vis_idx} rendered in "
+                          f"{time.time() - t_vis:.1f}s", flush=True)
+                except Exception as e:  # noqa: BLE001
+                    # a vis render must never kill a multi-hour training run
+                    # (e.g. an eval-capacity OOM at an unlucky tree state);
+                    # training state is untouched — log and continue
+                    print(f"[vis] render failed at iter {step}: {e!r} "
+                          "(training continues)", flush=True)
             if m and step % self.report_freq == 0:
                 ips = self.report_freq / max(time.time() - t_report, 1e-6)
                 t_report = time.time()
@@ -130,20 +172,6 @@ class Runner:
                       f"Samples: {tr.ema_sampled:.1f} "
                       f"MeaningfulSamples: {tr.ema_meaningful:.1f} "
                       f"IPS: {ips:.2f}{trunc}", flush=True)
-        for _sig, _h in prev_handlers.items():
-            signal.signal(_sig, _h)
-        if stop_sig["n"] is not None:
-            print(f"Graceful stop (signal {stop_sig['n']}) at iter "
-                  f"{tr.iter_step}; saving state.", flush=True)
-        # final state must always be on disk, whether or not end_iter lands
-        # on the save cadence (the reference saves only at end_iter,
-        # ExpRunner.cpp:180-186)
-        if stop_sig["n"] is not None or self.end_iter % self.save_freq != 0:
-            tr.save_checkpoint()
-        with open(os.path.join(self.base_exp_dir, "train_info.txt"), "w") as f:
-            f.write(f"{time.time() - t_start}\n")
-        print("Train done, test.", flush=True)
-        self.test_images()
 
     # ------------------------------------------------------------- rendering
 
@@ -174,19 +202,34 @@ class Runner:
         h, w = tr.dataset.height, tr.dataset.width
         out_dir = os.path.join(self.base_exp_dir, "test_images")
         os.makedirs(out_dir, exist_ok=True)
+        from ..utils.metrics import make_lpips, psnr_float, rgb_ssim
+        lpips_fn = make_lpips()   # None in images without the lpips package
         info = {}
-        psnrs = []
+        full = {"psnr": {}, "ssim": {}, "lpips": {}}
+        psnrs, ssims, lpipss = [], [], []
         for idx in map(int, tr.dataset.test_set):
+            t_img = time.time()
             colors, disp, oct_d = self._render_camera(idx)
             colors, disp, oct_d = self._finalize_disp(colors, disp, oct_d, h, w)
             # quantize before PSNR (ExpRunner.cpp:349-369)
             pred = np.round(np.clip(colors, 0, 1) * 255.0) / 255.0
             gt = tr.dataset.images[idx].astype(np.float32) / 255.0
-            mse = float(((pred - gt) ** 2).mean())
-            psnr = 20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-10)))
+            psnr = psnr_float(gt, pred)
+            # SSIM/LPIPS inline (the reference needs a separate offline
+            # eval.py pass for these, scripts/eval.py:27-121)
+            ssim = rgb_ssim(gt, pred)
             info[str(idx)] = float(psnr)
+            full["psnr"][str(idx)] = float(psnr)
+            full["ssim"][str(idx)] = float(ssim)
             psnrs.append(psnr)
-            print(f"{idx}: {psnr}", flush=True)
+            ssims.append(ssim)
+            if lpips_fn is not None:
+                lp = lpips_fn((gt * 255).astype(np.float32),
+                              (pred * 255).astype(np.float32))
+                full["lpips"][str(idx)] = lp
+                lpipss.append(lp)
+            print(f"{idx}: psnr {psnr:.3f} ssim {ssim:.4f} "
+                  f"({time.time() - t_img:.1f}s)", flush=True)
             step = tr.iter_step
             io.write_image(os.path.join(out_dir, f"color_{step}_{idx:03d}.png"), pred)
             io.write_image(os.path.join(out_dir, f"depth_{step}_{idx:03d}.png"),
@@ -194,9 +237,17 @@ class Runner:
             io.write_image(os.path.join(out_dir, f"oct_depth_{step}_{idx:03d}.png"),
                            np.repeat(oct_d, 3, -1))
         info["mean_psnr"] = float(np.mean(psnrs)) if psnrs else 0.0
-        print(f"Mean psnr: {info['mean_psnr']}", flush=True)
+        full["psnr"]["mean"] = info["mean_psnr"]
+        full["ssim"]["mean"] = float(np.mean(ssims)) if ssims else 0.0
+        full["lpips"]["mean"] = float(np.mean(lpipss)) if lpipss else None
+        print(f"Mean psnr: {info['mean_psnr']} "
+              f"mean ssim: {full['ssim']['mean']:.4f}", flush=True)
         with open(os.path.join(out_dir, "info.yaml"), "w") as f:
             yaml.safe_dump(info, f)
+        # the eval.py-compatible artifact (reference writes it offline only)
+        import json
+        with open(os.path.join(out_dir, "info.json"), "w") as f:
+            json.dump(full, f, indent=2)
         return info
 
     def render_path(self, reso_level: int = 1):
