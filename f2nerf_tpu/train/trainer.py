@@ -1018,13 +1018,16 @@ class Trainer:
         capacities. All chunks are dispatched before fetching (hides the
         per-call host<->device round trip).
 
-        Default chunk 16384 (configurable via ``eval.chunk``): the train
-        pipeline measured ~5x the rays/s at 16k rays vs the 2-4k buckets
-        (BENCHMARKS.md r2 scaling table) and a whole fox image is then 32
-        dispatches instead of 127 through the ~45 ms tunnel. The reference
+        Default chunk 4096 (configurable via ``eval.chunk``): the r2
+        scaling table says 16k-ray chunks are ~5x faster, but BOTH r5full
+        tunnel wedges happened inside the first 16384-chunk eval compile at
+        iter 2500 (BENCHMARKS.md round-5 incident — the ~5M-point fast-tier
+        buffers appear to kill the remote compile service), while 4096 is
+        the r1-r4-proven value. Raise via ``eval.chunk`` deliberately, in a
+        context where losing the tunnel is acceptable. The reference
         renders 8192-ray eval chunks (ExpRunner.cpp:257-293)."""
         if chunk is None:
-            chunk = int(self.cfg.get("eval", {}).get("chunk", 16384))
+            chunk = int(self.cfg.get("eval", {}).get("chunk", 4096))
         cap_fast = cap_bucket(min(max(2.0 * self.ema_sampled, 64.0) * chunk,
                                   chunk * max_s))
         fast = self._eval_fn_for(chunk, max_s, cap_fast)
