@@ -167,6 +167,8 @@ class Runner:
                          if tr.trunc_ema > 0.005 else "")
                 trunc += (f" SampleSat: {tr.sat_ema:.2f}"
                           if getattr(tr, "sat_ema", 0.0) > 0.005 else "")
+                trunc += (f" GradTrunc: {tr.b_trunc_ema:.2f}"
+                          if getattr(tr, "b_trunc_ema", 0.0) > 0.005 else "")
                 print(f"Iter: {step:>6d} PSNR: {tr.psnr_smooth:.2f} "
                       f"NRays: {m['n_rays']:>5d} OctSamples: {tr.ema_oct:.1f} "
                       f"Samples: {tr.ema_sampled:.1f} "

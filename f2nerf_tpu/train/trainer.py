@@ -231,6 +231,20 @@ def flat_caps(n_rays: int, max_s: int, pts_local: int,
               f"the cap1 ceiling {ceil_abs} ({cap1_mult}x pts_batch); the "
               f"dense buffer will truncate observably (overflow_a stat).",
               flush=True)
+    if ema_meaningful * n_rays > 1.5 * pts_local:
+        # mild (<~25%) cap2 overshoot at bucket transitions is the designed
+        # contract (the controller resizes n_rays next step); demand 1.5x
+        # past the budget means the contract CANNOT be met at this bucket —
+        # typically the 512-ray floor x per-ray demand exceeds a shrunk
+        # pts_batch, and the grad pass then silently drops most geometry
+        # (the root cause of the mis-calibrated fox-240 canary: 512 floor
+        # x ~110 meaningful/ray vs pts_batch 16384 dropped 60% of every
+        # step's samples, pinning training at ~10 dB for three rounds).
+        print(f"[flat_caps] WARNING: meaningful-sample demand "
+              f"{ema_meaningful * n_rays:.0f} far exceeds pts_batch "
+              f"{pts_local} at the {n_rays}-ray bucket; grad-pass samples "
+              f"will be dropped (overflow_b / GradTrunc). "
+              f"Raise train.pts_batch_size.", flush=True)
     cap1 = int(min(cap_bucket(need1), hi1))
     cap2 = int(min(cap_bucket(need2), cap1, pts_local))
     return cap1, cap2
@@ -601,8 +615,12 @@ class Trainer:
         self.train_cams = (intri, w2c, bounds)
         self.n_volumes = self.tree_host.n_trans
         caps_cfg = cfg.get("capacity", {})
-        self.max_nodes = int(caps_cfg.get("max_nodes", 131072))
-        self.max_trans = int(caps_cfg.get("max_trans", 16384))
+        # max_nodes 131072 crashed the r5full run at the iter-10000 fox
+        # milestone (the final subdivision needs 255,892 nodes — no earlier
+        # round ever crossed 10000 to see it). 393216 covers that with 1.5x
+        # headroom; the packed node table at this size is ~100 MB of HBM.
+        self.max_nodes = int(caps_cfg.get("max_nodes", 393216))
+        self.max_trans = int(caps_cfg.get("max_trans", 32768))
         self.max_edges = int(caps_cfg.get("max_edges", 262144))
         self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                       self.max_trans, self.max_edges)
@@ -752,6 +770,16 @@ class Trainer:
             # would have shown ~1.0 here) — surfaced in the report line
             self.sat_ema = 0.9 * self.sat_ema + \
                 0.1 * float(stats.get("n_saturated", 0.0)) / n_rays
+            # fraction of MEANINGFUL samples the cap2/pts_batch bound
+            # dropped from the grad pass. Sustained value = the config
+            # cannot satisfy the pts_batch contract at the bucket floor
+            # (512 rays x demand > pts_batch) and quality silently
+            # collapses toward region-mean color — exactly how the
+            # fox-240 canary sat at ~10 dB for three rounds while every
+            # e2e stat looked healthy (BENCHMARKS.md round-5 root-cause)
+            n_keep = max(float(stats.get("n_meaningful", 0.0)), 1.0)
+            self.b_trunc_ema = 0.9 * getattr(self, "b_trunc_ema", 0.0) + \
+                0.1 * float(stats.get("overflow_b", 0.0)) / n_keep
             if trunc > 0 and self.hit_cap < self.hit_cap_limit:
                 # rays lost geometry to a full hit buffer: double capacity
                 self.hit_cap = min(2 * self.hit_cap, self.hit_cap_limit)
@@ -886,6 +914,17 @@ class Trainer:
             self.hit_cap = min(max(self.hit_cap, want), self.hit_cap_limit)
             self.oct_max = self.oct_max * 0.5
         if changed:
+            # grow device capacities with the host tree instead of asserting:
+            # the iter-10000 fox milestone needs 255,892 nodes and crashed
+            # the static 131072 cap (r5full, /tmp log .wedged.125428) — a
+            # milestone is already a recompile boundary, so re-padding the
+            # tree arrays here costs nothing extra
+            self.max_nodes = max(self.max_nodes,
+                                 pow2ceil(self.tree_host.n_nodes))
+            self.max_trans = max(self.max_trans,
+                                 pow2ceil(self.tree_host.n_trans))
+            self.max_edges = max(self.max_edges,
+                                 pow2ceil(self.tree_host.edge_t.shape[0]))
             self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                           self.max_trans, self.max_edges)
             if self.mesh is not None:
@@ -982,6 +1021,12 @@ class Trainer:
             edge_dir1=z["edge_dir1"], side_len=float(z["side_len"]),
             milestones=[int(m) for m in z["milestones"]],
         )
+        # a late-milestone checkpoint can exceed the static capacity
+        # defaults (same growth rule as maybe_maintain_tree)
+        self.max_nodes = max(self.max_nodes, pow2ceil(self.tree_host.n_nodes))
+        self.max_trans = max(self.max_trans, pow2ceil(self.tree_host.n_trans))
+        self.max_edges = max(self.max_edges,
+                             pow2ceil(self.tree_host.edge_t.shape[0]))
         self.tree = dv.to_device_tree(self.tree_host, self.max_nodes,
                                       self.max_trans, self.max_edges)
         self._replicate_state()

@@ -139,6 +139,25 @@ def test_flat_cap1_abs_ceiling_calibration():
     assert cap1b == 16 * 262144, cap1b
 
 
+def test_flat_caps_warns_on_unmeetable_pts_batch(capsys):
+    """r5 root-cause regression: 512-ray bucket floor x ~110 meaningful/ray
+    vs pts_batch 16384 drops ~60% of grad-pass samples — the silent mode
+    that pinned the fox-240 canary at ~10 dB for three rounds. The rebuild
+    path must now say so."""
+    from f2nerf_tpu.train.trainer import flat_caps
+
+    flat_caps(512, 512, 16384, ema_sampled=115.0, ema_meaningful=110.0,
+              prev=None, lo=2048)
+    out = capsys.readouterr().out
+    assert "Raise train.pts_batch_size" in out, out
+
+    # the healthy contract (controller-sized bucket, demand ~ pts_batch
+    # with the designed <=25% transition overshoot) stays quiet
+    flat_caps(8192, 512, 262144, ema_sampled=70.0, ema_meaningful=30.0,
+              prev=None, lo=2048)
+    assert "Raise train.pts_batch_size" not in capsys.readouterr().out
+
+
 def test_controller_20k_trajectory_no_deadlock():
     """VERDICT r4 #6: walk the adaptive controller through a synthetic but
     fox-shaped 20k trajectory (fineness decay, culling convergence, 5
